@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship pipeline (tile + PIP join) on sf0.001.
+queries()      -> operator callables (spark, sf_dir) -> DataFrame.
+oracle_sql()   -> DuckDB ANSI-SQL twins (driver's correctness gate).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dedup -> tile assign -> PIP join -> per-tile/polygon counts
+    at sf0.001 (the engine's 'tiled + spatially joined' headline path)."""
+    from pyspark.sql import functions as F
+
+    from optimizerasters_spark.operators import dedup, spatial
+    from optimizerasters_spark.pages import synth_boundaries, synth_pages
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = dedup.dedup_latest(synth_pages(spark, sf_dir))
+    tiled = spatial.with_tiles(pages)
+    joined = spatial.pip_join(tiled, synth_boundaries(spark), how="inner")
+    return (joined.groupBy("polygon_id", "tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("page_count"))
+            .orderBy("polygon_id", "tile_x", "tile_y"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from optimizerasters_spark import contract
+    return dict(contract.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from optimizerasters_spark import contract
+    return dict(contract.ORACLES)

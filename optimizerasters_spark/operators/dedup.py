@@ -1,0 +1,94 @@
+"""Deduplication operators.
+
+* ``dedup_latest`` — keep the newest crawl per url (window row_number),
+  the reference's ledger dedup-on-add analog (Report.addFile,
+  OptimizeRasters.py:1908-1917) generalized to "latest snapshot wins".
+* ``dedup_exact`` — exact content dedup by sha2(text) hash-groupBy.
+* ``minhash_signatures`` / ``lsh_candidate_pairs`` — MinHash+LSH near-dup:
+  word shingles -> per-hash min of md5(seed||shingle) -> band buckets ->
+  bucket equi-join. All built-in column functions (md5/transform/
+  aggregate) — stays JVM-side, no Python in the hot path.
+
+Scale notes: dedup_latest shuffles once on url (the natural key);
+dedup_exact shuffles on the 256-bit digest (uniform — no skew); LSH
+candidate generation shuffles on band buckets, which is the point: only
+same-bucket docs ever meet, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_latest(pages: DataFrame,
+                 key: str = "url",
+                 order: str = "warc_epoch") -> DataFrame:
+    w = Window.partitionBy(key).orderBy(F.col(order).desc(),
+                                        F.col("doc_id").asc())
+    return (pages.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One representative (min doc_id) per distinct sha256(text)."""
+    return (docs
+            .withColumn("text_sha", F.sha2(F.col(text_col), 256))
+            .groupBy("text_sha")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def shingles_col(text_col, n: int = 3):
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
+                       shingle_n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """doc_id -> array of num_hashes min-md5 values (hex strings).
+
+    hash_i(doc) = min over shingles of md5(i || ':' || shingle). md5 output
+    is identical across engines, making the signature oracle-checkable."""
+    sh = docs.select("doc_id", shingles_col(text_col, shingle_n).alias("sh"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("sh"),
+                        lambda s: F.md5(F.concat(i.cast("string"),
+                                                 F.lit(":"), s)))),
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
+                        shingle_n: int = 3,
+                        text_col: str = "text") -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b) sharing >= 1 LSH band.
+
+    bands of rows_per_band hashes each; band key = concat of its hashes.
+    The band explode shuffles on (band_id, band_key) — uniform unless
+    true near-dups exist, which is exactly the skew we want to find."""
+    rpb = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band_id"),
+                    F.concat_ws("|", F.slice(F.col("sig"), b * rpb + 1, rpb))
+                     .alias("band_key")))).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, ["band_id", "band_key"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())

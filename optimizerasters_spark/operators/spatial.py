@@ -1,0 +1,154 @@
+"""Spatial operators: tile assignment, cell-cover point-in-polygon join,
+radius-bounded kNN.
+
+Scale notes (100 TB design):
+  * tile/cell assignment is pure column arithmetic — no shuffle, folds into
+    the scan stage (whole-stage codegen).
+  * PIP join is the classic theta-join made EQUI by grid-cover
+    discretization (the reference's pixel->512-block idea,
+    OptimizeRasters.py:3992-3998): each polygon is expanded (driver-side,
+    dimension is small) into the set of coarse grid cells its bbox covers,
+    that cover table is BROADCAST, pages equi-join on their coarse cell,
+    and the exact predicate refines. Pages never shuffle.
+  * kNN is radius-bounded: candidates = pages whose coarse cell is in the
+    query point's k-ring (broadcast), then window row_number per query.
+    Integer millidegree distances -> no float tie ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from optimizerasters_spark import tiling
+from optimizerasters_spark.pages import WORLD_H, WORLD_W
+
+# Coarse cell resolution for cover joins (millidegree domain).
+COVER_CELL_MD = 10000  # 10-degree-ish cells -> 36 x 17 grid
+
+
+def with_tiles(pages: DataFrame, world_w: int = WORLD_W,
+               world_h: int = WORLD_H,
+               block: int = tiling.DEFAULT_BLOCK_SIZE) -> DataFrame:
+    """Assign level-0 tile coords on the declared world raster. Pure
+    projection — no shuffle."""
+    px_x = F.floor(F.col("lon_md") * world_w / 360000)
+    px_y = F.floor(F.col("lat_md") * world_h / 170000)
+    return (pages
+            .withColumn("tile_x", F.floor(px_x / block).cast("int"))
+            .withColumn("tile_y", F.floor(px_y / block).cast("int")))
+
+
+def tile_counts_at_levels(pages_with_tiles: DataFrame,
+                          levels: list[int]) -> DataFrame:
+    """Page counts per tile per pyramid level.
+
+    Scale-first: aggregate level 0 ONCE (the only shuffle proportional to
+    page count), then reduce level L -> L+1 on the already-tiny tile table
+    (gdaladdo builds level N from N-1 the same way,
+    OptimizeRasters.py:5060-5143)."""
+    l0 = (pages_with_tiles
+          .groupBy("tile_x", "tile_y")
+          .agg(F.count(F.lit(1)).alias("page_count")))
+    out = None
+    cur = l0
+    prev_level = 0
+    for lv in sorted(levels):
+        if lv > prev_level:
+            cur = (cur
+                   .groupBy(F.shiftright(F.col("tile_x"), lv - prev_level)
+                              .alias("tile_x"),
+                            F.shiftright(F.col("tile_y"), lv - prev_level)
+                              .alias("tile_y"))
+                   .agg(F.sum("page_count").alias("page_count")))
+            prev_level = lv
+        lvl_df = cur.select(F.lit(lv).alias("level"), "tile_x", "tile_y",
+                            "page_count")
+        out = lvl_df if out is None else out.unionByName(lvl_df)
+    return out
+
+
+def _cover_cells(lo: int, hi: int, cell: int) -> list[int]:
+    """Cells intersecting the half-open interval [lo, hi)."""
+    return list(range(lo // cell, (hi - 1) // cell + 1))
+
+
+def polygon_cover(boundaries_rows: list, cell_md: int = COVER_CELL_MD):
+    """Driver-side expansion of polygon bboxes to covering coarse cells.
+    The boundaries dimension is small by design (admin polygons); at scale
+    this list lives comfortably in a broadcast (<< the 8 GB limit)."""
+    cover = []
+    for r in boundaries_rows:
+        for cx in _cover_cells(r["lon_lo_md"], r["lon_hi_md"], cell_md):
+            for cy in _cover_cells(r["lat_lo_md"], r["lat_hi_md"], cell_md):
+                cover.append((r["polygon_id"], tiling.pack_cell(cx, cy)))
+    return cover
+
+
+def pip_join(pages: DataFrame, boundaries: DataFrame,
+             cell_md: int = COVER_CELL_MD, how: str = "inner") -> DataFrame:
+    """Point-in-polygon equi-join via broadcast cell cover.
+
+    Emits one row per (page, containing polygon); half-open box semantics
+    [lo, hi). ``how='left'`` keeps pages matching no polygon (polygon_id
+    NULL) — the reference's raster/non-raster split analog."""
+    spark = pages.sparkSession
+    b_rows = boundaries.collect()
+    cover = spark.createDataFrame(
+        polygon_cover(b_rows, cell_md), "polygon_id BIGINT, cell BIGINT")
+    cands = pages.withColumn(
+        "cell",
+        tiling.pack_cell_col(F.floor(F.col("lon_md") / cell_md),
+                             F.floor(F.col("lat_md") / cell_md)),
+    ).join(F.broadcast(cover), "cell", "inner" if how == "inner" else "left")
+    refined = cands.join(F.broadcast(boundaries),
+                         ["polygon_id"], "left") \
+        .where(
+            (F.col("polygon_id").isNull()) |
+            ((F.col("lon_md") >= F.col("lon_lo_md")) &
+             (F.col("lon_md") < F.col("lon_hi_md")) &
+             (F.col("lat_md") >= F.col("lat_lo_md")) &
+             (F.col("lat_md") < F.col("lat_hi_md"))))
+    if how == "inner":
+        return refined.where(F.col("polygon_id").isNotNull())
+    # left: a page may match some covers but fail refinement everywhere —
+    # re-derive the null row per page
+    matched = refined.where(F.col("polygon_id").isNotNull())
+    lost = pages.join(matched.select("doc_id").distinct(), "doc_id",
+                      "left_anti").withColumn("polygon_id",
+                                              F.lit(None).cast("bigint"))
+    keep = [c for c in pages.columns] + ["polygon_id"]
+    return matched.select(*keep).unionByName(lost.select(*keep))
+
+
+def knn_per_query(pages: DataFrame, query_points: list[tuple[int, int, int]],
+                  k: int = 5, radius_md: int = 1000) -> DataFrame:
+    """Radius-bounded kNN: for each (query_id, qlon_md, qlat_md) return the
+    k nearest pages within ``radius_md`` (squared integer millidegree
+    distance; ties broken by doc_id — fully deterministic).
+
+    Scale path: the query side is broadcast; pages are scanned once and
+    pre-filtered by the bbox predicate BEFORE the shuffle, so the window
+    only sorts candidate rows (tiny) rather than the full table."""
+    spark = pages.sparkSession
+    q = spark.createDataFrame(query_points,
+                              "query_id BIGINT, qlon_md BIGINT, qlat_md BIGINT")
+    cand = pages.join(
+        F.broadcast(q),
+        (F.col("lon_md") >= F.col("qlon_md") - radius_md) &
+        (F.col("lon_md") <= F.col("qlon_md") + radius_md) &
+        (F.col("lat_md") >= F.col("qlat_md") - radius_md) &
+        (F.col("lat_md") <= F.col("qlat_md") + radius_md),
+    ).withColumn(
+        "dist2",
+        (F.col("lon_md") - F.col("qlon_md")) *
+        (F.col("lon_md") - F.col("qlon_md")) +
+        (F.col("lat_md") - F.col("qlat_md")) *
+        (F.col("lat_md") - F.col("qlat_md")),
+    ).where(F.col("dist2") <= radius_md * radius_md)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                               F.col("doc_id").asc())
+    return (cand.withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+            .select("query_id", F.col("knn_rank").cast("int").alias("knn_rank"),
+                    "doc_id", F.col("dist2").cast("bigint").alias("dist2")))
