@@ -14,11 +14,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from optimizerasters_spark import tiling
+from optimizerasters_spark.fixtures import (
+    EXTENTS_CTE, FILES_CTE, LEDGER_CTE, synth_extents, synth_files,
+    synth_ledger,
+)
 from optimizerasters_spark.pages import (
     BOUNDARIES_CTE, HOT_LAT_MD, HOT_LON_MD, PAGES_CTE, WORLD_H, WORLD_W,
     synth_boundaries, synth_pages,
 )
-from optimizerasters_spark.operators import dedup, spatial
+from optimizerasters_spark.operators import (
+    dedup, filters, groups, manifest, similarity, spatial, text, windows,
+)
 
 BLOCK = tiling.DEFAULT_BLOCK_SIZE
 PYRAMID_LEVELS = [0, 2, 4, 6, 8, 10]
@@ -94,6 +100,208 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("doc_id").cast("bigint").alias("doc_id"))
 
 
+# ---------------------------------------------------------------------------
+# Batch 2: filters / groups / windows / manifest / text / similarity
+# ---------------------------------------------------------------------------
+
+RASTER_PATTERNS = ["tif", "mrf", "til"]
+EXCLUDE_PATTERNS = ["ovr", "rrd", "aux.xml", "idx", "mrf_cache"]
+MANIFEST_LEVELS = [0, 4, 8]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_path_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = synth_files(spark, sf_dir)
+    return filters.classify_paths(f, RASTER_PATTERNS, EXCLUDE_PATTERNS) \
+        .select("doc_id", "path", "is_raster", "is_excluded", "action")
+
+
+def q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = synth_files(spark, sf_dir)
+    led = synth_ledger(spark, sf_dir)
+    return filters.resume_pending(f, led).select("doc_id", "path")
+
+
+def q_hashkey_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = synth_files(spark, sf_dir)
+    return filters.with_hashkey_path(f, key_col="path", position=2) \
+        .select("doc_id", "hashed_path")
+
+
+def q_sniff_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = synth_pages(spark, sf_dir)
+    payload = (F.when(F.col("doc_id") % 3 == 0, F.lit("<MRF>m</MRF>"))
+                .when(F.col("doc_id") % 3 == 1,
+                      F.concat(F.lit("<html><body>"), F.col("text"),
+                               F.lit("</body></html>")))
+                .otherwise(F.concat(F.lit("p:"), F.col("lang"))))
+    d = d.withColumn("payload", F.encode(payload, "UTF-8"))
+    return filters.sniff_dispatch(d, "payload").select("doc_id", "dispatch")
+
+
+def q_assoc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = synth_files(spark, sf_dir)
+    return groups.associate_join(f)
+
+
+def q_til_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    members = d.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 40).cast("bigint").alias("group_id"),
+        F.when(F.col("doc_id") % 97 == 0, "").otherwise("yes")
+         .alias("processed"))
+    return groups.til_complete_groups(members).select(
+        "group_id", F.col("member_count").cast("bigint").alias("member_count"),
+        F.col("processed_count").cast("bigint").alias("processed_count"))
+
+
+def q_stem_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = synth_files(spark, sf_dir)
+    return groups.stem_groups(f).select(
+        "stem", F.col("n_files").cast("bigint").alias("n_files"),
+        F.col("total_size").cast("bigint").alias("total_size"))
+
+
+def q_job_success(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return groups.job_success(synth_ledger(spark, sf_dir))
+
+
+def q_free_space_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("cents", F.floor(F.col("value") * 100).cast("bigint"))
+    out = windows.cumulative_until_target(
+        ev, ["ts", "event_id"], "cents", target_num=1, target_den=10)
+    return out.select("event_id",
+                      F.col("cum_amount").cast("bigint").alias("cum_cents"))
+
+
+def q_timing_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("cents", F.floor(F.col("value") * 100).cast("bigint"))
+    out = windows.stage_pivot(ev, "user_id", "event_type", "cents",
+                              EVENT_TYPES)
+    return out.select("user_id",
+                      *[F.col(t).cast("bigint").alias(t)
+                        for t in EVENT_TYPES])
+
+
+def q_pyramid_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = synth_extents(spark, sf_dir)
+    return ex.select(
+        "scene_id", "width", "height", "blocksize",
+        tiling.pyramid_top_factor_col(F.col("width"), F.col("height"),
+                                      F.col("blocksize")).alias("top_factor"),
+        tiling.pyramid_factors_col(F.col("width"), F.col("height"),
+                                   F.col("blocksize")).alias("factors"))
+
+
+def q_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    counts = spatial.tile_counts_at_levels(p, MANIFEST_LEVELS)
+    m = manifest.tile_manifest(counts)
+    return m.select("tile_id",
+                    F.col("level").cast("int").alias("level"),
+                    F.col("tile_x").cast("int").alias("tile_x"),
+                    F.col("tile_y").cast("int").alias("tile_y"),
+                    F.col("page_count").cast("bigint").alias("page_count"),
+                    "blocksize", "scale", "source_uri")
+
+
+def q_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = synth_files(spark, sf_dir)
+    # round-trip backslash normalization (X2) + innermost multi-dot
+    # extension (X5, RasterAssociates.findExtension :925-934)
+    win = F.regexp_replace(F.col("path"), "/", "\\\\")
+    norm = F.regexp_replace(win, "\\\\", "/")
+    base = F.substring_index(F.col("path"), "/", -1)
+    inner_ext = F.expr(
+        "substring(substring_index(path, '/', -1), "
+        "instr(substring_index(path, '/', -1), '.') + 1)")
+    return f.select("doc_id", norm.alias("norm_path"),
+                    inner_ext.alias("inner_ext"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dedup_exact(d).select(
+        "text_sha", F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("dup_count").cast("bigint").alias("dup_count"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.token_count(d)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.quality_score(d)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.lang_id(d)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.fingerprint(d)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.lsh_candidate_pairs(d, num_hashes=8, bands=4, shingle_n=3) \
+        .select(F.col("doc_a").cast("bigint").alias("doc_a"),
+                F.col("doc_b").cast("bigint").alias("doc_b"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    return similarity.cosine_topk(e, q, k=5)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+    cents = lambda c: F.floor(c * 100).cast("bigint")  # noqa: E731
+    return (li
+            .withColumn("qty_c", cents(F.col("l_quantity")))
+            .withColumn("base_c", cents(F.col("l_extendedprice")))
+            .withColumn("disc_c", cents(F.col("l_extendedprice") *
+                                        (1 - F.col("l_discount"))))
+            .withColumn("charge_c", cents(F.col("l_extendedprice") *
+                                          (1 - F.col("l_discount")) *
+                                          (1 + F.col("l_tax"))))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("qty_c").alias("sum_qty_cents"),
+                 F.sum("base_c").alias("sum_base_cents"),
+                 F.sum("disc_c").alias("sum_disc_cents"),
+                 F.sum("charge_c").alias("sum_charge_cents"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (o.withColumn("cents", F.floor(F.col("o_totalprice") * 100)
+                        .cast("bigint"))
+           .groupBy("o_custkey").agg(F.sum("cents").alias("revenue_cents")))
+    j = (rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+    return (j.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("n_name", F.col("rnk").cast("int").alias("rnk"),
+                    "c_custkey", "revenue_cents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pages_synth": q_pages_synth,
     "tile_assign": q_tile_assign,
@@ -102,6 +310,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_join_left": q_pip_join_left,
     "knn_per_cell": q_knn_per_cell,
     "dedup_latest": q_dedup_latest,
+    "path_classify": q_path_classify,
+    "resume_pending": q_resume_pending,
+    "hashkey_path": q_hashkey_path,
+    "sniff_dispatch": q_sniff_dispatch,
+    "assoc_join": q_assoc_join,
+    "til_barrier": q_til_barrier,
+    "stem_groups": q_stem_groups,
+    "job_success": q_job_success,
+    "free_space_scan": q_free_space_scan,
+    "timing_pivot": q_timing_pivot,
+    "pyramid_factors": q_pyramid_factors,
+    "tile_manifest": q_tile_manifest,
+    "path_functions": q_path_functions,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "cosine_topk": q_cosine_topk,
+    "pricing_summary": q_pricing_summary,
+    "top_customers_per_nation": q_top_customers_per_nation,
 }
 
 
@@ -182,3 +412,273 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url
 WHERE rn = 1
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 oracles
+# ---------------------------------------------------------------------------
+
+_RASTER_RE = filters.patterns_regex(RASTER_PATTERNS)
+_EXCLUDE_RE = filters.patterns_regex(EXCLUDE_PATTERNS)
+_WF = f"WITH {FILES_CTE.strip()}"
+_WL = f"WITH {LEDGER_CTE.strip()}"
+
+ORACLES.update({
+    "path_classify": f"""
+{_WF}
+SELECT doc_id, path,
+  CAST(regexp_matches(path, '{_RASTER_RE}') AS INT) AS is_raster,
+  CAST(regexp_matches(path, '{_EXCLUDE_RE}')
+       AND NOT lower(path) LIKE '%.til' AS INT) AS is_excluded,
+  CASE WHEN regexp_matches(path, '{_EXCLUDE_RE}')
+            AND NOT lower(path) LIKE '%.til' THEN 'skip'
+       WHEN regexp_matches(path, '{_RASTER_RE}') THEN 'convert'
+       ELSE 'copy' END AS action
+FROM files
+""",
+    "resume_pending": f"""
+{_WF}, {LEDGER_CTE.strip()}
+SELECT f.doc_id, f.path FROM files f
+WHERE f.doc_id NOT IN (SELECT doc_id FROM ledger WHERE processed = 'yes')
+""",
+    "hashkey_path": f"""
+{_WF}
+SELECT doc_id,
+  string_split(path, '/')[1] || '/' || substr(md5(path), 1, 8) || '/' ||
+  array_to_string(string_split(path, '/')[2:len(string_split(path, '/'))],
+                  '/') AS hashed_path
+FROM files
+""",
+    "sniff_dispatch": """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'clonemrf'
+       WHEN doc_id % 3 = 1 THEN 'cachingmrf'
+       ELSE 'raw' END AS dispatch
+FROM documents
+""",
+    "assoc_join": f"""
+{_WF}
+SELECT p.doc_id AS primary_doc_id, s.doc_id AS sidecar_doc_id, p.stem,
+       p.ext AS primary_ext, s.ext AS sidecar_ext
+FROM files p JOIN files s ON p.stem = s.stem
+WHERE (p.ext IN ('img','IMG') AND s.ext IN ('ige','IGE'))
+   OR (p.ext IN ('ntf','NTF','tif','TIF') AND s.ext IN ('RPB','rpb'))
+""",
+    "til_barrier": """
+SELECT CAST(doc_id % 40 AS BIGINT) AS group_id,
+       CAST(COUNT(*) AS BIGINT) AS member_count,
+       CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS processed_count
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) = SUM(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END)
+""",
+    "stem_groups": f"""
+{_WF}
+SELECT stem, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size) AS BIGINT) AS total_size
+FROM files GROUP BY 1
+""",
+    "job_success": f"""
+{_WL}
+SELECT CAST(MAX(CASE WHEN processed = 'no' THEN 1 ELSE 0 END) AS INT)
+         AS has_failures,
+       CAST(SUM(CASE WHEN processed = 'yes' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_yes,
+       CAST(SUM(CASE WHEN processed = 'no' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no,
+       CAST(SUM(CASE WHEN processed = '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pending
+FROM ledger
+""",
+    "free_space_scan": """
+WITH ev AS (
+  SELECT event_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events),
+c AS (
+  SELECT event_id,
+         SUM(cents) OVER (ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         SUM(cents) OVER () AS total_cents
+  FROM ev)
+SELECT event_id, CAST(cum_cents AS BIGINT) AS cum_cents
+FROM c WHERE cum_cents * 10 <= total_cents * 1
+""",
+    "timing_pivot": """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS BIGINT)
+    AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN cents ELSE 0 END) AS BIGINT)
+    AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT)
+    AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN cents ELSE 0 END) AS BIGINT)
+    AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS BIGINT)
+    AS view
+FROM ev GROUP BY 1
+""",
+    "pyramid_factors": f"""
+WITH {EXTENTS_CTE.strip()},
+t AS (
+  SELECT scene_id, width, height, blocksize,
+    CASE WHEN POWER(2, CEIL(LOG2(GREATEST(width, height)
+                                 / CAST(blocksize AS DOUBLE)))) >= 2
+         THEN CAST(POWER(2, CEIL(LOG2(GREATEST(width, height)
+                                      / CAST(blocksize AS DOUBLE)))) AS BIGINT)
+         ELSE CAST(2 AS BIGINT) END AS top_factor
+  FROM extents)
+SELECT scene_id, width, height, blocksize, top_factor,
+  array_to_string(
+    list_transform(generate_series(1, CAST(LOG2(top_factor) AS INT)),
+                   i -> CAST(CAST(POWER(2, i) AS BIGINT) AS VARCHAR)),
+    ' ') AS factors
+FROM t
+""",
+    "tile_manifest": f"""
+{_W},
+t0 AS (SELECT {_TILE_SQL} FROM pages),
+counts AS (
+  SELECT CAST(l.lv AS INT) AS level,
+         CAST(t.tile_x >> l.lv AS INT) AS tile_x,
+         CAST(t.tile_y >> l.lv AS INT) AS tile_y,
+         CAST(COUNT(*) AS BIGINT) AS page_count
+  FROM t0 t CROSS JOIN (VALUES (0),(4),(8)) l(lv)
+  GROUP BY 1, 2, 3)
+SELECT 'L' || CAST(level AS VARCHAR) || '/' || CAST(tile_x AS VARCHAR)
+         || '/' || CAST(tile_y AS VARCHAR) AS tile_id,
+       level, tile_x, tile_y, page_count,
+       CAST(512 AS INT) AS blocksize, CAST(2 AS INT) AS scale,
+       'tiles/L' || CAST(level AS VARCHAR) || '/' || CAST(tile_x AS VARCHAR)
+         || '/' || CAST(tile_y AS VARCHAR) || '.mrf' AS source_uri
+FROM counts
+""",
+    "path_functions": f"""
+{_WF}
+SELECT doc_id,
+  replace(replace(path, '/', '\\'), '\\', '/') AS norm_path,
+  substr(string_split(path, '/')[-1],
+         position('.' IN string_split(path, '/')[-1]) + 1) AS inner_ext
+FROM files
+""",
+    "dedup_exact": """
+SELECT sha256(text) AS text_sha,
+       CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1
+""",
+    "token_count": """
+SELECT doc_id,
+  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(CEIL(length(text) / 4) AS BIGINT) AS n_bpe_est
+FROM documents
+""",
+    "quality_score": """
+WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tk
+           FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(FLOOR(length(text) * 1000000 / GREATEST(len(tk), 1)) AS BIGINT)
+    AS mean_word_len_micro,
+  CAST(FLOOR(len(list_filter(tk, x -> x IN
+      ('the','a','and','of','to','in','is','for','on','with')))
+      * 1000000 / GREATEST(len(tk), 1)) AS BIGINT) AS stopword_ratio_micro
+FROM t
+""",
+    "lang_id": """
+WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tk
+           FROM documents),
+s AS (SELECT doc_id, lang,
+        CAST(FLOOR(len(list_filter(tk, x -> x IN
+            ('the','a','and','of','to','in','is','for','on','with')))
+            * 1000000 / GREATEST(len(tk), 1)) AS BIGINT) AS en_score_micro
+      FROM t)
+SELECT doc_id, lang AS lang_declared, en_score_micro,
+       CASE WHEN en_score_micro >= 50000 THEN 'en' ELSE 'other' END
+         AS lang_pred
+FROM s
+""",
+    "fingerprint": """
+SELECT doc_id,
+  sha256(text) AS sha256_hex,
+  md5(text) AS md5_hex,
+  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_md5_hex
+FROM documents
+""",
+    "minhash_lsh_pairs": """
+WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents),
+sh AS (SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, GREATEST(len(t) - 3, 0)),
+           i -> array_to_string(t[i+1:i+3], ' '))) AS s
+       FROM tk),
+sig AS (SELECT doc_id,
+          list_transform(generate_series(0, 7),
+            i -> list_min(list_transform(s,
+                   x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS g
+        FROM sh),
+banded AS (
+  SELECT doc_id, b.band_id,
+         array_to_string(g[b.band_id*2+1:b.band_id*2+2], '|') AS band_key
+  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id))
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    "cosine_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+sim AS (
+  SELECT q.query_id, e.vec_id,
+    list_sum(list_transform(generate_series(1, len(e.v)),
+                            i -> e.v[i] * q.qv[i])) /
+    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+     sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
+  FROM e CROSS JOIN q)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INT) AS sim_rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM sim)
+WHERE rn <= 5
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+    AS sum_qty_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_base_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       AS BIGINT) AS sum_disc_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY 1, 2
+""",
+    "top_customers_per_nation": """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+           AS revenue_cents
+  FROM orders GROUP BY 1)
+SELECT n_name, CAST(rnk AS INT) AS rnk, c_custkey,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents
+FROM (SELECT n.n_name, c.c_custkey, r.revenue_cents,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY r.revenue_cents DESC, c.c_custkey)
+               AS rnk
+      FROM rev r
+      JOIN customer c ON r.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey)
+WHERE rnk <= 3
+""",
+})

@@ -1,0 +1,118 @@
+"""Filter / projection operators (SURVEY.md §2.2).
+
+Reference semantics re-expressed as Catalyst predicates:
+  * F1 extension glob filter — filterPaths (OptimizeRasters.py:4133-4151):
+    each pattern whose first char is not one of ``?*[`` gets a ``*`` prefix
+    (suffix match); case-sensitive fnmatch. We compile the pattern list to
+    ONE anchored regex at plan time -> a single ``rlike`` predicate that
+    Catalyst pushes into the scan.
+  * F2 raster/non-raster split — exclude wins over the raster match except
+    for ``.til`` files which are always kept (:4254-4259).
+  * F3 resume-status anti-join — getRecordStatus (:1807-1815): skip rows the
+    ledger marks 'yes'; ``retryall`` ignores the ledger (:2001-2011).
+  * F7 hashkey path injection — insertUserTextToOutputPath (:1036-1063):
+    md5(url)[:8] inserted as a path segment (our salting analog).
+  * F8 header-byte sniff — threadProxyRaster (:7205-7252): first bytes of
+    the payload dispatch clonemrf vs cachingmrf; pure substring on the
+    BINARY column here (payload is in-table — no ranged reads needed).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+GLOB_SPECIAL = ("?", "*", "[")
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Reference filterPaths pattern -> anchored regex (dialect-neutral:
+    valid for both Java regex and RE2). Bare patterns get the '*' prefix."""
+    if pattern[0] not in GLOB_SPECIAL:
+        pattern = "*" + pattern
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = pattern.find("]", i + 1)
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                out.append(pattern[i:j + 1])
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def patterns_regex(patterns: list[str]) -> str:
+    """OR-combined single regex for a pattern list (compiled once at plan
+    time — the filter stays a single JVM-side rlike)."""
+    return "|".join(f"(?:{glob_to_regex(p)})" for p in patterns)
+
+
+def matches_patterns(path: Column, patterns: list[str]) -> Column:
+    return path.rlike(patterns_regex(patterns))
+
+
+def classify_paths(files: DataFrame, raster_patterns: list[str],
+                   exclude_patterns: list[str],
+                   path_col: str = "path") -> DataFrame:
+    """F1+F2: add is_raster / is_excluded / action columns.
+
+    action: 'convert' (raster, not excluded), 'skip' (excluded),
+    'copy' (everything else). ``.til`` files are never excluded."""
+    p = F.col(path_col)
+    is_raster = matches_patterns(p, raster_patterns)
+    is_excluded = matches_patterns(p, exclude_patterns) & \
+        ~F.lower(p).endswith(".til")
+    action = (F.when(is_excluded, F.lit("skip"))
+               .when(is_raster, F.lit("convert"))
+               .otherwise(F.lit("copy")))
+    return (files.withColumn("is_raster", is_raster.cast("int"))
+                 .withColumn("is_excluded", is_excluded.cast("int"))
+                 .withColumn("action", action))
+
+
+def resume_pending(work: DataFrame, ledger: DataFrame,
+                   key: str = "doc_id", status_col: str = "processed",
+                   retryall: bool = False) -> DataFrame:
+    """F3: rows not yet marked 'yes' in the ledger (anti-join). At scale the
+    ledger is a fraction of the input and Catalyst broadcasts it when small;
+    otherwise AQE picks a shuffled hash anti-join on the key."""
+    if retryall:
+        return work
+    done = ledger.where(F.col(status_col) == "yes").select(key)
+    return work.join(done, key, "left_anti")
+
+
+def with_hashkey_path(df: DataFrame, path_col: str = "path",
+                      key_col: str = "url", position: int = 2) -> DataFrame:
+    """F7: insert substring(md5(key),1,8) as path segment #position."""
+    segs = F.split(F.col(path_col), "/")
+    hk = F.substring(F.md5(F.col(key_col)), 1, 8)
+    out = F.concat_ws(
+        "/",
+        F.concat_ws("/", F.slice(segs, 1, position - 1)),
+        hk,
+        F.concat_ws("/", F.slice(segs, position, F.size(segs))))
+    return df.withColumn("hashed_path", out)
+
+
+def sniff_dispatch(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """F8: dispatch on the first payload bytes (no full-content read —
+    column pruning gives the cheap classify the reference got from ranged
+    GETs). '<MRF' -> clonemrf, other markup -> cachingmrf, else raw."""
+    head = F.substring(F.col(payload_col).cast("string"), 1, 5)
+    return df.withColumn(
+        "dispatch",
+        F.when(head.startswith("<MRF"), F.lit("clonemrf"))
+         .when(head.startswith("<"), F.lit("cachingmrf"))
+         .otherwise(F.lit("raw")))

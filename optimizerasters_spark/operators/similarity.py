@@ -1,0 +1,90 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * ``cosine_topk`` — brute-force cosine top-k per query vector: the
+    correctness baseline. Dot products via F.aggregate/zip_with stay
+    JVM-side; the query side is broadcast so the big side never shuffles.
+  * ``lsh_bucket_topk`` — the scale path: random-hyperplane (SimHash-style)
+    bucketing; candidates only meet within a bucket (and its query-side
+    multiprobe neighbors), turning O(N*Q) into O(N + candidates).
+
+At 100 TB the brute-force form is still the right INNER loop — but only
+after a bucket/IVF prefilter bounds candidates per query; both pieces are
+here and compose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm2(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                vec_col: str = "embedding") -> DataFrame:
+    """For each row of ``queries`` (query_id, qvec) return the k most
+    cosine-similar embeddings (ties -> lower vec_id). Query side broadcast;
+    one window per query_id partition."""
+    e = embeddings.select(
+        "vec_id",
+        F.col(vec_col).cast("array<double>").alias("vec"))
+    q = queries.select(
+        "query_id", F.col("qvec").cast("array<double>").alias("qvec"))
+    sim = (e.crossJoin(F.broadcast(q))
+           .withColumn("cos_sim",
+                       _dot(F.col("vec"), F.col("qvec")) /
+                       (_norm2(F.col("vec")) * _norm2(F.col("qvec")))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("vec_id").asc())
+    return (sim.withColumn("sim_rank", F.row_number().over(w))
+            .where(F.col("sim_rank") <= k)
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("sim_rank").cast("int").alias("sim_rank"),
+                    F.col("vec_id").cast("bigint").alias("vec_id")))
+
+
+def simhash_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bucket id for a fixed set of hyperplanes
+    (deterministic, plan-time constants)."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1 << i)
+         .otherwise(0)
+        for i, p in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame,
+                    planes: list[list[float]], k: int = 5,
+                    vec_col: str = "embedding") -> DataFrame:
+    """ANN: bucket both sides by hyperplane signs, join on bucket, rank
+    within. Recall < 1 by construction (single-probe); callers add probes
+    by unioning neighbor buckets on the (small) query side."""
+    e = embeddings.select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("vec")
+    ).withColumn("bucket", simhash_bucket(F.col("vec"), planes))
+    q = queries.select(
+        "query_id", F.col("qvec").cast("array<double>").alias("qvec")
+    ).withColumn("bucket", simhash_bucket(F.col("qvec"), planes))
+    sim = (e.join(F.broadcast(q), "bucket")
+           .withColumn("cos_sim",
+                       _dot(F.col("vec"), F.col("qvec")) /
+                       (_norm2(F.col("vec")) * _norm2(F.col("qvec")))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("vec_id").asc())
+    return (sim.withColumn("sim_rank", F.row_number().over(w))
+            .where(F.col("sim_rank") <= k)
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("sim_rank").cast("int").alias("sim_rank"),
+                    F.col("vec_id").cast("bigint").alias("vec_id")))

@@ -1,0 +1,78 @@
+"""Text-analysis operators for the training-data pipeline (documents table).
+
+All pure built-in column functions (JVM-side, whole-stage codegen) — no
+Python in the hot path. Scores that would be floats are emitted as
+micro-units (x 1e6, floored) so results are exact integers and
+oracle-comparable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+
+MICRO = 1000000
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (4 chars/token heuristic) +
+    char count."""
+    toks = tokens_col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars_calc"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("bigint")
+         .alias("n_bpe_est"))
+
+
+def stopword_ratio_col(text_col: str = "text",
+                       stopwords: list[str] | None = None) -> Column:
+    toks = tokens_col(text_col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.floor(n_sw * MICRO / F.greatest(F.size(toks), F.lit(1))) \
+            .cast("bigint")
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / mean-word-length / stopword-ratio features in micro-units.
+    The classic cheap quality gate for web text."""
+    toks = tokens_col(text_col)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    mean_wl = F.floor(F.length(F.col(text_col)) * MICRO / n_toks) \
+               .cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars_calc"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        mean_wl.alias("mean_word_len_micro"),
+        stopword_ratio_col(text_col).alias("stopword_ratio_micro"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: English-stopword hit ratio -> en/other.
+    (A real model slots in as a pandas UDF; the Spark-side contract —
+    one pass, one derived column — is what matters here.)"""
+    ratio = stopword_ratio_col(text_col)
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_declared"),
+        ratio.alias("en_score_micro"),
+        F.when(ratio >= 50000, F.lit("en")).otherwise(F.lit("other"))
+         .alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-text sha256, md5, and a normalized
+    (lowercase, collapsed whitespace) md5 — the cheap canonical-form key."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col(text_col), 256).alias("sha256_hex"),
+        F.md5(F.col(text_col)).alias("md5_hex"),
+        F.md5(norm).alias("norm_md5_hex"))
