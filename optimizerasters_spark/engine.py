@@ -1,0 +1,131 @@
+"""End-to-end resumable pipeline — the OptimizeRasters job lifecycle
+(SURVEY.md §3.1) re-expressed as checkpointed DataFrame stages:
+
+    pages -> [ledger anti-join] -> dedup -> tile assign -> PIP join
+          -> per-page output (append)        [stage "process"]
+    per-page output -> pyramid counts -> manifest (overwrite)
+                                              [stage "finalize"]
+
+Exactly-once semantics: the per-page stage APPENDS batch directories and
+marks the ledger only after a successful write; a crash between write and
+mark causes reprocessing, and the finalize stage deduplicates by url —
+append + dedup = idempotent, the same trick the reference plays with
+updateRecordStatus path normalization (:1835-1891) but keyed by url.
+
+The ``text`` column rides through the per-page output untouched
+(byte-identity invariant per BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from optimizerasters_spark import ledger as L
+from optimizerasters_spark import lineage
+from optimizerasters_spark.operators import dedup, manifest, spatial
+from optimizerasters_spark.pages import synth_boundaries, synth_pages
+
+
+@dataclass
+class JobConf:
+    sf_dir: str
+    workdir: str
+    levels: list[int] = field(default_factory=lambda: [0, 4, 8])
+    resume: str = "resume"          # or "retryall"
+    output_prefix: str = "tiles"
+
+
+class Engine:
+    """Engine(conf).run(spark) -> dict of result DataFrames.
+
+    Public API mirroring the reference embedding contract
+    (CodeSamples/processUsingAListOfFiles.py:50-69):
+    run(), get_ledger(), has_failures(), get_metrics()."""
+
+    def __init__(self, conf: JobConf):
+        self.conf = conf
+        self.run_id = uuid.uuid4().hex[:12]
+
+    # -- paths ------------------------------------------------------------
+    def _pages_out(self) -> str:
+        return os.path.join(self.conf.workdir, "page_tiles")
+
+    def _tiles_out(self) -> str:
+        return os.path.join(self.conf.workdir, "tile_counts")
+
+    def _manifest_out(self) -> str:
+        return os.path.join(self.conf.workdir, "manifest")
+
+    # -- lifecycle ---------------------------------------------------------
+    def run(self, spark: SparkSession,
+            pages: DataFrame | None = None) -> dict[str, DataFrame]:
+        conf = self.conf
+        os.makedirs(conf.workdir, exist_ok=True)
+        if pages is None:
+            pages = synth_pages(spark, conf.sf_dir)
+        pages = dedup.dedup_latest(pages)
+
+        led = L.read_ledger(spark, conf.workdir)
+        if led is None:
+            led = L.init_ledger(spark, conf.workdir, pages, "url")
+        elif conf.resume == "retryall":
+            L.clear_statuses(spark, conf.workdir)
+            led = L.read_ledger(spark, conf.workdir)
+
+        # ---- stage "process": per-page tile assign + PIP join ----------
+        todo = L.pending(pages, led, "processed", "url")
+        with lineage.StageTimer(spark, conf.workdir, self.run_id,
+                                "process", todo):
+            tiled = spatial.with_tiles(todo)
+            joined = spatial.pip_join(tiled, synth_boundaries(spark),
+                                      how="left")
+            out = joined.select(
+                "url", "doc_id", "tile_x", "tile_y", "polygon_id",
+                "warc_epoch", "lang", "text",
+                F.sha2(F.col("text"), 256).alias("text_sha"))
+            batch_dir = os.path.join(self._pages_out(),
+                                     f"batch={self.run_id}")
+            out.write.mode("overwrite").parquet(batch_dir)
+            L.merge_status(spark, conf.workdir,
+                           spark.read.parquet(batch_dir).select("url"),
+                           "processed", L.YES, self.run_id)
+
+        # ---- stage "finalize": dedup + pyramids + manifest --------------
+        all_pages = spark.read.parquet(self._pages_out())
+        # exactly-once repair: a crash after write but before merge leaves
+        # duplicate (url, polygon_id) rows across batches — keep one.
+        all_pages = all_pages.dropDuplicates(["url", "polygon_id"])
+        with lineage.StageTimer(spark, conf.workdir, self.run_id,
+                                "finalize", all_pages):
+            per_page = all_pages.dropDuplicates(["url"])
+            counts = spatial.tile_counts_at_levels(per_page, conf.levels)
+            counts.write.mode("overwrite").parquet(self._tiles_out())
+            m = manifest.tile_manifest(spark.read.parquet(self._tiles_out()),
+                                       conf.output_prefix)
+            m.write.mode("overwrite").parquet(self._manifest_out())
+            L.merge_status(spark, conf.workdir, per_page.select("url"),
+                           "uploaded", L.YES, self.run_id)
+
+        return {
+            "page_tiles": spark.read.parquet(self._pages_out())
+                               .dropDuplicates(["url", "polygon_id"]),
+            "tile_counts": spark.read.parquet(self._tiles_out()),
+            "manifest": spark.read.parquet(self._manifest_out()),
+            "ledger": L.read_ledger(spark, conf.workdir),
+        }
+
+    # -- embedding API ------------------------------------------------------
+    def get_ledger(self, spark: SparkSession) -> DataFrame | None:
+        return L.read_ledger(spark, self.conf.workdir)
+
+    def has_failures(self, spark: SparkSession) -> bool:
+        led = self.get_ledger(spark)
+        return led is not None and L.has_failures(led)
+
+    def get_metrics(self, spark: SparkSession) -> DataFrame | None:
+        return lineage.read_metrics(spark, self.conf.workdir)

@@ -1,0 +1,57 @@
+"""Streaming ingest: incremental micro-batches update the ledger and the
+restartable checkpoint skips already-seen files."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from optimizerasters_spark import ledger as L
+from optimizerasters_spark.pages import synth_pages
+from optimizerasters_spark.streaming.snapshot import (
+    run_incremental, windowed_rates,
+)
+
+
+def test_incremental_ingest_with_ledger(spark, sf_dir, tmp_path):
+    input_dir = str(tmp_path / "incoming")
+    workdir = str(tmp_path / "stream_job")
+    pages = synth_pages(spark, sf_dir).select(
+        "doc_id", "url", "warc_epoch", "text", "lang", "lon_md", "lat_md")
+
+    # chunk 1 arrives
+    pages.where(F.col("doc_id") % 2 == 0).write.mode("append") \
+        .parquet(input_dir)
+    run_incremental(spark, input_dir, workdir)
+    led1 = L.read_ledger(spark, workdir)
+    n1 = led1.where(F.col("processed") == "yes").count()
+    assert n1 == pages.where(F.col("doc_id") % 2 == 0).count()
+
+    # chunk 2 arrives; restart the stream (same checkpoint) -> only new
+    # files are read, ledger grows to the full set
+    pages.where(F.col("doc_id") % 2 == 1).write.mode("append") \
+        .parquet(input_dir)
+    run_incremental(spark, input_dir, workdir)
+    led2 = L.read_ledger(spark, workdir)
+    assert led2.where(F.col("processed") == "yes").count() == pages.count()
+
+    # per-page stream output carries the text hash
+    out = spark.read.parquet(os.path.join(workdir, "page_tiles"))
+    assert out.count() == pages.count()
+    assert "text_sha" in out.columns and "tile_x" in out.columns
+
+
+def test_windowed_rates_plan(spark, sf_dir, tmp_path):
+    """Watermarked windowed aggregation runs to completion in memory sink."""
+    input_dir = str(tmp_path / "in2")
+    synth_pages(spark, sf_dir).select(
+        "doc_id", "url", "warc_epoch", "text", "lang", "lon_md", "lat_md"
+    ).limit(200).write.mode("append").parquet(input_dir)
+    agg = windowed_rates(spark, input_dir)
+    q = (agg.writeStream.format("memory").queryName("rates")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # append mode emits only watermark-closed windows; table must exist
+    assert spark.sql("SELECT * FROM rates").columns == \
+        ["window", "lang", "page_count"]
