@@ -24,6 +24,24 @@ from pyspark.sql.window import Window
 def dedup_latest(pages: DataFrame,
                  key: str = "url",
                  order: str = "warc_epoch") -> DataFrame:
+    """Keep the newest row per key (ties -> lowest doc_id).
+
+    Implemented as groupBy + max_by rather than a window: partial
+    aggregation combines map-side, so the shuffle carries one row per key
+    per map task instead of every row — the difference between OK and
+    catastrophic on a 10^12-row crawl with few duplicates."""
+    others = [c for c in pages.columns if c != key]
+    ord_struct = F.struct(F.col(order), (-F.col("doc_id")).alias("_inv"))
+    agg = F.max_by(F.struct(*[F.col(c) for c in others]), ord_struct) \
+           .alias("_row")
+    return (pages.groupBy(key).agg(agg)
+            .select(key, *[F.col(f"_row.{c}").alias(c) for c in others]))
+
+
+def dedup_latest_window(pages: DataFrame,
+                        key: str = "url",
+                        order: str = "warc_epoch") -> DataFrame:
+    """Window-function form (kept for parity testing / SURVEY §2.5)."""
     w = Window.partitionBy(key).orderBy(F.col(order).desc(),
                                         F.col("doc_id").asc())
     return (pages.withColumn("rn", F.row_number().over(w))
@@ -53,16 +71,23 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
     """doc_id -> array of num_hashes min-md5 values (hex strings).
 
     hash_i(doc) = min over shingles of md5(i || ':' || shingle). md5 output
-    is identical across engines, making the signature oracle-checkable."""
-    sh = docs.select("doc_id", shingles_col(text_col, shingle_n).alias("sh"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("sh"),
-                        lambda s: F.md5(F.concat(i.cast("string"),
-                                                 F.lit(":"), s)))),
-    )
-    return sh.select("doc_id", sig.alias("sig"))
+    is identical across engines, making the signature oracle-checkable.
+
+    Shape: explode shingles -> groupBy(doc_id) with one MIN per hash seed.
+    The mins partial-aggregate map-side (shuffle carries num_hashes hex
+    strings per doc per map task) and the md5 calls run in whole-stage
+    codegen — nested array lambdas would evaluate interpreted."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles_col(text_col, shingle_n)).alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,

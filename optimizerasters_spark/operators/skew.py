@@ -1,0 +1,73 @@
+"""Hot-cell skew handling: salted two-phase aggregation and salted joins.
+
+The input's urban H3/tile cells hold orders of magnitude more pages than
+the median cell (the synth injects 20 % of rows into 3 centers). The
+reference's only sharding device was the hashkey path split
+(insertUserTextToOutputPath, OptimizeRasters.py:1036-1063, F7) — one
+random/md5 path segment. Here:
+
+  * counts/sums: Spark's map-side partial aggregation already neutralizes
+    per-cell count skew; nothing to do (asserted in tests).
+  * non-combinable aggs (collect of pages per cell, per-cell sampling):
+    SALT = pmod(hash(url), nsalt) appended to the key, partial per
+    (cell, salt), final per cell — two small shuffles instead of one
+    skewed one.
+  * skewed shuffle joins: AQE skew-join splitting is on
+    (spark.sql.adaptive.skewJoin.enabled); salted_join covers the
+    deterministic-plan case by replicating the small side nsalt times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, key_col: str = "url",
+              nsalt: int = 16) -> DataFrame:
+    """Deterministic salt in [0, nsalt): pmod(xxhash64(key), nsalt)."""
+    return df.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(nsalt)).cast("int"))
+
+
+def salted_collect_per_cell(pages: DataFrame, cell_cols: list[str],
+                            payload_col: str, nsalt: int = 16,
+                            max_per_cell: int | None = None) -> DataFrame:
+    """collect_list per cell without a skewed single-reducer:
+    phase 1 collects per (cell, salt); phase 2 flattens the nsalt partial
+    lists per cell. Optionally truncates to max_per_cell (deterministic:
+    lists sorted before truncation)."""
+    salted = with_salt(pages, payload_col, nsalt)
+    p1 = (salted.groupBy(*cell_cols, "salt")
+          .agg(F.sort_array(F.collect_list(payload_col)).alias("part")))
+    p2 = (p1.groupBy(*cell_cols)
+          .agg(F.sort_array(F.flatten(F.collect_list("part")))
+               .alias("payloads")))
+    if max_per_cell is not None:
+        p2 = p2.withColumn("payloads",
+                           F.slice(F.col("payloads"), 1, max_per_cell))
+    return p2
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                nsalt: int = 16) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, explode the small side
+    across all salt values, join on (key, salt). Use when the small side
+    is too large to broadcast and the key distribution is known-skewed;
+    otherwise prefer broadcast or AQE skew-join."""
+    b = with_salt(big, key, nsalt)
+    s = small.withColumn(
+        "salt",
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(nsalt)])))
+    return b.join(s, [key, "salt"]).drop("salt")
+
+
+def cell_histogram(pages_with_tiles: DataFrame,
+                   cell_cols: list[str] | None = None) -> DataFrame:
+    """Skew diagnostic: per-cell counts + global skew ratio columns."""
+    cell_cols = cell_cols or ["tile_x", "tile_y"]
+    counts = (pages_with_tiles.groupBy(*cell_cols)
+              .agg(F.count(F.lit(1)).alias("n")))
+    stats = counts.agg(F.max("n").alias("max_n"),
+                       F.expr("percentile_approx(n, 0.5)").alias("median_n"))
+    return counts.crossJoin(F.broadcast(stats)) \
+        .withColumn("skew_ratio", F.col("n") / F.col("median_n"))

@@ -43,29 +43,23 @@ def tile_counts_at_levels(pages_with_tiles: DataFrame,
                           levels: list[int]) -> DataFrame:
     """Page counts per tile per pyramid level.
 
-    Scale-first: aggregate level 0 ONCE (the only shuffle proportional to
-    page count), then reduce level L -> L+1 on the already-tiny tile table
-    (gdaladdo builds level N from N-1 the same way,
-    OptimizeRasters.py:5060-5143)."""
+    Scale-first, two shuffles total regardless of level count:
+      1. aggregate level 0 ONCE — the only shuffle proportional to page
+         count (map-side partial combine does most of the work);
+      2. explode the (tiny) level-0 tile table across the level list and
+         re-aggregate with the per-level bit shift.
+    gdaladdo's N-from-(N-1) iteration (OptimizeRasters.py:5060-5143) is
+    semantically identical because counts are associative; a union of
+    chained reductions would re-execute the shared prefix per branch."""
     l0 = (pages_with_tiles
           .groupBy("tile_x", "tile_y")
           .agg(F.count(F.lit(1)).alias("page_count")))
-    out = None
-    cur = l0
-    prev_level = 0
-    for lv in sorted(levels):
-        if lv > prev_level:
-            cur = (cur
-                   .groupBy(F.shiftright(F.col("tile_x"), lv - prev_level)
-                              .alias("tile_x"),
-                            F.shiftright(F.col("tile_y"), lv - prev_level)
-                              .alias("tile_y"))
-                   .agg(F.sum("page_count").alias("page_count")))
-            prev_level = lv
-        lvl_df = cur.select(F.lit(lv).alias("level"), "tile_x", "tile_y",
-                            "page_count")
-        out = lvl_df if out is None else out.unionByName(lvl_df)
-    return out
+    lv = F.explode(F.array(*[F.lit(int(x)) for x in sorted(levels)]))
+    return (l0.select(lv.alias("level"), "tile_x", "tile_y", "page_count")
+            .groupBy("level",
+                     F.expr("shiftright(tile_x, level)").alias("tile_x"),
+                     F.expr("shiftright(tile_y, level)").alias("tile_y"))
+            .agg(F.sum("page_count").alias("page_count")))
 
 
 def _cover_cells(lo: int, hi: int, cell: int) -> list[int]:

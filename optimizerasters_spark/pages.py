@@ -44,7 +44,29 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pages: doc_id, url, warc_epoch, text, lang, lon_md, lat_md, html."""
+    return _derive_pages(load_documents(spark, sf_dir))
+
+
+def synth_pages_scaled(spark: SparkSession, sf_dir: str,
+                       factor: int) -> DataFrame:
+    """Bench-scale pages: ``factor`` deterministic replicas per document.
+
+    Built from ``spark.range`` (natively parallel — no small-file
+    bottleneck) broadcast-joined to the tiny documents dim; doc_id becomes
+    the replica id so every derived column (url, coords, ts) is unique and
+    the hot-cell skew shape is preserved at any scale."""
     d = load_documents(spark, sf_dir)
+    n = d.count()
+    base = spark.range(n * factor).select(
+        F.col("id").alias("page_id"),
+        (F.col("id") % n).alias("doc_id"))
+    joined = (base.join(F.broadcast(d), "doc_id")
+              .drop("doc_id")
+              .withColumnRenamed("page_id", "doc_id"))
+    return _derive_pages(joined)
+
+
+def _derive_pages(d: DataFrame) -> DataFrame:
     i = F.col("doc_id")
     hot_sel = (i % 5) == 0
     hot_idx = F.floor(i / 5).cast("bigint") % 3

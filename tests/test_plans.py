@@ -1,0 +1,60 @@
+"""Physical-plan assertions: the optimizations we claim must actually be
+in the plan (broadcast joins, pushdown, no gratuitous exchanges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimizerasters_spark.operators import dedup, spatial
+from optimizerasters_spark.pages import synth_boundaries, synth_pages
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_pip_join_broadcasts_and_never_shuffles_pages(spark, sf_dir):
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    j = spatial.pip_join(p, synth_boundaries(spark), how="inner")
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan, plan
+    # pages side must reach the join without an Exchange (only broadcast
+    # exchanges allowed)
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_tile_assign_is_pure_projection(spark, sf_dir):
+    t = spatial.with_tiles(synth_pages(spark, sf_dir))
+    plan = _plan(t)
+    assert "Exchange" not in plan, plan
+    assert "codegen id" in plan  # formatted mode marks codegen spans
+
+
+def test_parquet_filter_pushdown(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .where(F.col("doc_id") < 100).select("doc_id", "lang"))
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_dedup_uses_partial_aggregation(spark, sf_dir):
+    d = dedup.dedup_latest(synth_pages(spark, sf_dir)
+                           .select("url", "doc_id", "warc_epoch"))
+    plan = _plan(d)
+    # groupBy max_by compiles to partial + final aggregates around one
+    # Exchange (map-side combine shrinks the shuffle to ~one row per key
+    # per task) — a window would shuffle every row then sort
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan
+
+
+def test_knn_prefilters_before_window(spark, sf_dir):
+    from optimizerasters_spark.contract import KNN_QUERIES
+    out = spatial.knn_per_query(synth_pages(spark, sf_dir), KNN_QUERIES,
+                                k=5, radius_md=1000)
+    plan = _plan(out)
+    # bbox predicate must sit below the join (pages filtered pre-shuffle)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" in plan

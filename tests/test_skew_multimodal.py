@@ -1,0 +1,69 @@
+"""Salted aggregation correctness + multimodal Arrow plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimizerasters_spark.operators import multimodal, skew, spatial
+from optimizerasters_spark.pages import synth_pages
+
+
+def test_salted_collect_matches_direct(spark, sf_dir):
+    p = spatial.with_tiles(synth_pages(spark, sf_dir)) \
+        .select("url", "tile_x", "tile_y")
+    direct = (p.groupBy("tile_x", "tile_y")
+              .agg(F.sort_array(F.collect_list("url")).alias("payloads")))
+    salted = skew.salted_collect_per_cell(p, ["tile_x", "tile_y"], "url",
+                                          nsalt=8)
+    a = {(r["tile_x"], r["tile_y"]): r["payloads"] for r in direct.collect()}
+    b = {(r["tile_x"], r["tile_y"]): r["payloads"] for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    p = synth_pages(spark, sf_dir).select("doc_id", "lang")
+    dim = spark.createDataFrame(
+        [("en", 1), ("de", 2), ("fr", 3), ("es", 4), ("zh", 5)],
+        "lang STRING, lang_id INT")
+    plain = sorted(tuple(r) for r in p.join(dim, "lang").collect())
+    salted = sorted(tuple(r) for r in
+                    skew.salted_join(p, dim, "lang", nsalt=4).collect())
+    assert plain == salted
+
+
+def test_cell_histogram_flags_hot_cells(spark, sf_dir):
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    h = skew.cell_histogram(p)
+    hot = h.where(F.col("skew_ratio") >= 10).count()
+    assert hot >= 3  # the three injected urban centers
+
+
+def test_decode_images_batch_shape(spark, sf_dir):
+    m = multimodal.synth_media(synth_pages(spark, sf_dir).limit(100))
+    out = multimodal.decode_images(m)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert all(r["decode_ok"] for r in rows)
+    assert all(r["width"] >= 16 and r["channels"] in (1, 3) for r in rows)
+    # determinism across runs
+    again = {r["doc_id"]: (r["width"], r["height"])
+             for r in multimodal.decode_images(m).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == (r["width"], r["height"])
+
+
+def test_decode_failure_is_dead_letter_not_task_failure(spark, sf_dir):
+    m = multimodal.synth_media(synth_pages(spark, sf_dir).limit(10)) \
+        .withColumn("media", F.when(F.col("doc_id") % 2 == 0,
+                                    F.col("media")))
+    out = multimodal.decode_images(m)
+    bad = out.where(~F.col("decode_ok")).count()
+    assert bad == 5
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    m = multimodal.synth_media(synth_pages(spark, sf_dir).limit(20))
+    out = multimodal.sample_frames(m, every_n=10, max_frames=4)
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in per_doc)
+    assert len(per_doc) == 20
