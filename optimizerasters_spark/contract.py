@@ -682,3 +682,63 @@ FROM (SELECT n.n_name, c.c_custkey, r.revenue_cents,
 WHERE rnk <= 3
 """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: skew-safe aggregation, ANN, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_salted_cell_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted collect per tile — equals the direct collect but
+    survives hot cells (the 3 urban centers)."""
+    from optimizerasters_spark.operators import skew
+    p = spatial.with_tiles(synth_pages(spark, sf_dir)) \
+        .select("url", "tile_x", "tile_y")
+    out = skew.salted_collect_per_cell(p, ["tile_x", "tile_y"], "url",
+                                       nsalt=8)
+    return out.select("tile_x", "tile_y",
+                      F.concat_ws(",", F.col("payloads")).alias("urls_csv"))
+
+
+def q_simhash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (rows-only check: recall is
+    probabilistic by design, not SQL-expressible)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    # deterministic pseudo-random planes from a fixed seed table
+    planes = [[(((i * 2654435761 + j * 40503) % 1000) - 500) / 500.0
+               for j in range(64)] for i in range(6)]
+    return similarity.lsh_bucket_topk(e, q, planes, k=5)
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow mapInPandas media decode plumbing (rows-only: the decoder is
+    a deterministic stub — schema/batch shape is the contract)."""
+    from optimizerasters_spark.operators import multimodal
+    m = multimodal.synth_media(synth_pages(spark, sf_dir))
+    return multimodal.decode_images(m)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimizerasters_spark.operators import multimodal
+    m = multimodal.synth_media(synth_pages(spark, sf_dir))
+    return multimodal.sample_frames(m, every_n=10, max_frames=4)
+
+
+QUERIES.update({
+    "salted_cell_payloads": q_salted_cell_payloads,
+    "simhash_ann": q_simhash_ann,
+    "media_decode": q_media_decode,
+    "frame_sample": q_frame_sample,
+})
+
+ORACLES.update({
+    "salted_cell_payloads": f"""
+{_W},
+t0 AS (SELECT url, {_TILE_SQL} FROM pages)
+SELECT tile_x, tile_y,
+       array_to_string(list_sort(list(url)), ',') AS urls_csv
+FROM t0 GROUP BY 1, 2
+""",
+})
