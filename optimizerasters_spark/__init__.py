@@ -15,3 +15,4 @@ only where built-ins cannot express the semantics.
 __version__ = "0.1.0"
 
 from optimizerasters_spark.session import get_spark  # noqa: F401
+from optimizerasters_spark.engine import Engine, JobConf  # noqa: F401

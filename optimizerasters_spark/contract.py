@@ -742,3 +742,50 @@ SELECT tile_x, tile_y,
 FROM t0 GROUP BY 1, 2
 """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: k-ring kNN, embedding near-dup
+# ---------------------------------------------------------------------------
+
+def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bucketed kNN — must equal the bbox-radius form (same oracle)
+    for radius = ring * cell_md."""
+    p = synth_pages(spark, sf_dir)
+    return spatial.knn_kring(p, KNN_QUERIES, k=KNN_K,
+                             cell_md=KNN_RADIUS_MD, ring=1)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dup(e, threshold_micro=200000,
+                                         block_col="label")
+
+
+QUERIES.update({
+    "knn_kring": q_knn_kring,
+    "embedding_near_dup": q_embedding_near_dup,
+})
+
+ORACLES.update({
+    # identical semantics to the bbox-radius kNN for ring*cell == radius
+    "knn_kring": ORACLES["knn_per_cell"],
+    "embedding_near_dup": """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
+       CAST(b.vec_id AS BIGINT) AS vec_b,
+       CAST(FLOOR(
+         list_sum(list_transform(generate_series(1, len(a.v)),
+                                 i -> a.v[i] * b.v[i])) /
+         (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+          sqrt(list_sum(list_transform(b.v, x -> x * x)))) * 1000000)
+         AS BIGINT) AS sim_micro
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE FLOOR(
+  list_sum(list_transform(generate_series(1, len(a.v)),
+                          i -> a.v[i] * b.v[i])) /
+  (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+   sqrt(list_sum(list_transform(b.v, x -> x * x)))) * 1000000) >= 200000
+""",
+})

@@ -51,6 +51,38 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("vec_id").cast("bigint").alias("vec_id")))
 
 
+def embedding_near_dup(embeddings: DataFrame, threshold_micro: int = 950000,
+                       vec_col: str = "embedding",
+                       block_col: str | None = "label") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
+    threshold). Similarity is quantized to integer micro-units (floored)
+    so the threshold predicate is exact and oracle-checkable.
+
+    Blocking: candidates meet only within ``block_col`` buckets (a label,
+    an LSH bucket, an IVF centroid id) — the O(N^2) cross stays bounded by
+    the largest bucket, and buckets shuffle-join on their key. Pass
+    block_col=None for the brute-force baseline."""
+    e = embeddings.select(
+        "vec_id",
+        *([block_col] if block_col else []),
+        F.col(vec_col).cast("array<double>").alias("vec"))
+    a = e.alias("a")
+    b = e.alias("b")
+    on = [F.col("a.vec_id") < F.col("b.vec_id")]
+    if block_col:
+        on.insert(0, F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    joined = a.join(b, on[0] if len(on) == 1 else (on[0] & on[1]))
+    sim = (_dot(F.col("a.vec"), F.col("b.vec")) /
+           (_norm2(F.col("a.vec")) * _norm2(F.col("b.vec"))))
+    return (joined
+            .withColumn("sim_micro",
+                        F.floor(sim * F.lit(1000000)).cast("bigint"))
+            .where(F.col("sim_micro") >= threshold_micro)
+            .select(F.col("a.vec_id").cast("bigint").alias("vec_a"),
+                    F.col("b.vec_id").cast("bigint").alias("vec_b"),
+                    "sim_micro"))
+
+
 def simhash_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-of-projection bucket id for a fixed set of hyperplanes
     (deterministic, plan-time constants)."""

@@ -146,3 +146,48 @@ def knn_per_query(pages: DataFrame, query_points: list[tuple[int, int, int]],
             .where(F.col("knn_rank") <= k)
             .select("query_id", F.col("knn_rank").cast("int").alias("knn_rank"),
                     "doc_id", F.col("dist2").cast("bigint").alias("dist2")))
+
+
+def knn_kring(pages: DataFrame, query_points: list[tuple[int, int, int]],
+              k: int = 5, cell_md: int = 1000, ring: int = 1) -> DataFrame:
+    """Cell-bucketed kNN (SURVEY.md J5): pages carry their grid cell;
+    each query point expands to its (2*ring+1)^2 k-ring of cells
+    (driver-side — query set is small), the ring table is broadcast, and
+    candidates equi-join on cell. Identical results to the bbox form for
+    radius = ring * cell_md (every point within that radius lies in the
+    ring; the dist2 filter trims corners).
+
+    At scale this is the shape that wins: the big side never shuffles —
+    it equi-joins an existing integer column against a broadcast ring
+    table, and the per-query window sorts only candidate cells'
+    contents."""
+    spark = pages.sparkSession
+    rows = []
+    for (qid, qlon, qlat) in query_points:
+        cx0, cy0 = qlon // cell_md, qlat // cell_md
+        for dx in range(-ring, ring + 1):
+            for dy in range(-ring, ring + 1):
+                rows.append((qid, qlon, qlat,
+                             tiling.pack_cell(cx0 + dx, cy0 + dy)))
+    ring_df = spark.createDataFrame(
+        rows, "query_id BIGINT, qlon_md BIGINT, qlat_md BIGINT, cell BIGINT")
+    radius = ring * cell_md
+    cand = (pages.withColumn(
+                "cell",
+                tiling.pack_cell_col(F.floor(F.col("lon_md") / cell_md),
+                                     F.floor(F.col("lat_md") / cell_md)))
+            .join(F.broadcast(ring_df), "cell")
+            .withColumn(
+                "dist2",
+                (F.col("lon_md") - F.col("qlon_md")) *
+                (F.col("lon_md") - F.col("qlon_md")) +
+                (F.col("lat_md") - F.col("qlat_md")) *
+                (F.col("lat_md") - F.col("qlat_md")))
+            .where(F.col("dist2") <= radius * radius))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                               F.col("doc_id").asc())
+    return (cand.withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+            .select("query_id",
+                    F.col("knn_rank").cast("int").alias("knn_rank"),
+                    "doc_id", F.col("dist2").cast("bigint").alias("dist2")))

@@ -1,0 +1,83 @@
+"""orjob file-format round trip + Arrow UDF / codegen parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimizerasters_spark.sources import orjob
+from optimizerasters_spark.functions import geo
+from optimizerasters_spark.fixtures import synth_ledger
+from optimizerasters_spark.pages import synth_pages
+
+
+def test_orjob_round_trip(spark, sf_dir, tmp_path):
+    led = synth_ledger(spark, sf_dir).select(
+        F.concat(F.lit("in/f"), F.col("doc_id").cast("string"),
+                 F.lit(".tif")).alias("source"),
+        "copied", "processed", "uploaded")
+    path = str(tmp_path / "job.orjob")
+    header = {"mode": "MRF", "resume": "true", "op": "createjob",
+              "tempinput": "/tmp/ti"}
+    orjob.write_orjob(header, led, path)
+
+    hdr, led2 = orjob.read_orjob(spark, path)
+    assert hdr["mode"] == "mrf"            # lower-cased like the reference
+    assert hdr["tempinput"] == "/tmp/ti/"  # trailing slash forced
+    assert "op" not in hdr                 # createjob header dropped
+    a = sorted(tuple(r) for r in led.collect())
+    b = sorted(tuple(r) for r in led2.collect())
+    assert a == b
+
+    # second write from the parsed ledger is byte-identical (idempotent)
+    path2 = str(tmp_path / "job2.orjob")
+    orjob.write_orjob(hdr, led2, path2)
+    hdr3, led3 = orjob.read_orjob(spark, path2)
+    assert sorted(tuple(r) for r in led3.collect()) == a
+
+
+def test_orjob_retryall_clears_statuses(spark, sf_dir, tmp_path):
+    led = synth_ledger(spark, sf_dir).select(
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("source"),
+        "copied", "processed", "uploaded")
+    path = str(tmp_path / "retry.orjob")
+    orjob.write_orjob({"resume": "retryall"}, led, path)
+    _, led2 = orjob.read_orjob(spark, path)
+    assert led2.where((F.col("copied") != "") | (F.col("processed") != "") |
+                      (F.col("uploaded") != "")).count() == 0
+
+
+def test_orjob_backslash_and_dedup(spark, tmp_path):
+    path = str(tmp_path / "manual.orjob")
+    with open(path, "w") as f:
+        f.write("# mode=tif\n")
+        f.write("## a comment line\n\n")
+        f.write("SOURCE\tCOPIED\tPROCESSED\tUPLOADED\n")
+        f.write("a\\b\\x.tif\tyes\t\t\n")
+        f.write("a/b/x.tif\tno\tno\tno\n")     # dup after normalization
+        f.write("c.tif\n")                      # missing status fields
+    _, led = orjob.read_orjob(spark, path)
+    rows = {r["source"]: r for r in led.collect()}
+    assert set(rows) == {"a/b/x.tif", "c.tif"}
+    assert rows["c.tif"]["processed"] == ""
+
+
+def test_cell_encode_udf_matches_codegen(spark, sf_dir):
+    p = synth_pages(spark, sf_dir)
+    res = 4096
+    udf = geo.make_cell_encode_udf(res)
+    out = p.select(
+        "doc_id",
+        geo.cell_encode_col(F.col("lon_md"), F.col("lat_md"), res)
+          .alias("cell_sql"),
+        udf(F.col("lon_md"), F.col("lat_md")).alias("cell_udf"))
+    assert out.where(F.col("cell_sql") != F.col("cell_udf")).count() == 0
+
+
+def test_haversine_sane(spark):
+    df = spark.createDataFrame(
+        [(285994, 44287, 362352, 36143)],  # NYC-ish vs Paris-ish (abs md)
+        "lon1 BIGINT, lat1 BIGINT, lon2 BIGINT, lat2 BIGINT")
+    km = df.select(geo.make_haversine_udf()(
+        F.col("lon1") - 180000, F.col("lat1"),
+        F.col("lon2") - 180000, F.col("lat2")).alias("km")).collect()[0][0]
+    assert 5000 < km < 7000  # NYC-Paris ~5840 km

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md — captured .explain("formatted") of the core
+operators (the shapes asserted in tests/test_plans.py)."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from optimizerasters_spark.session import get_spark
+from optimizerasters_spark.operators import dedup, spatial
+from optimizerasters_spark.pages import synth_pages, synth_boundaries
+
+
+def main():
+    spark = get_spark('plans', master='local[4]', shuffle_partitions='8')
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = '/root/testdata/sf0.001'
+
+    def plan(df):
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+
+    p = synth_pages(spark, sf)
+    sections = [
+        ("Tile assignment (pure projection — no Exchange, one codegen span)",
+         plan(spatial.with_tiles(p).select("doc_id", "tile_x", "tile_y"))),
+        ("PIP cell-cover join (BroadcastHashJoin; pages side never shuffles)",
+         plan(spatial.pip_join(spatial.with_tiles(p),
+                               synth_boundaries(spark), how="inner")
+              .select("doc_id", "polygon_id"))),
+        ("Pyramid counts (ONE page-proportional shuffle + level explode)",
+         plan(spatial.tile_counts_at_levels(spatial.with_tiles(p), [0, 4, 8]))),
+        ("Dedup latest-per-url (partial_max_by map-side combine, no Window)",
+         plan(dedup.dedup_latest(p.select("url", "doc_id", "warc_epoch")))),
+    ]
+    out = ['# PLANS — captured physical plans (`.explain("formatted")`)', "",
+           "Generated against sf0.001; regenerate with `python tools_plans.py`.",
+           "These are the plan shapes asserted in `tests/test_plans.py`.", ""]
+    for title, body in sections:
+        out += [f"## {title}", "", "```", body.strip(), "```", ""]
+    open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      'PLANS.md'), 'w').write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
