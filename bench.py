@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "100"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "4000"))
 # fixed-size batch: AQE coalesce would serialize reduce stages (see
 # session.py); production pipelines keep it on
 os.environ.setdefault("SPARK_GRAFT_AQE_COALESCE", "false")

@@ -789,3 +789,110 @@ WHERE FLOOR(
    sqrt(list_sum(list_transform(b.v, x -> x * x)))) * 1000000) >= 200000
 """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: JSON ops, sessionization, TIL content parse
+# ---------------------------------------------------------------------------
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: JSON payload extraction from the events props column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    session flags per user; microsecond-exact timestamps."""
+    from pyspark.sql.window import Window
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "event_id",
+                  # parquet stores NTZ; session TZ is UTC so the cast is
+                  # the identity mapping micros-exact
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800 * 1000000), 1)
+                  .otherwise(0))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("us").alias("start_us"),
+                 F.max("us").alias("end_us"))
+            .select("user_id",
+                    F.col("session_id").cast("bigint").alias("session_id"),
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    "start_us", "end_us"))
+
+
+def q_til_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: parse synthesized .til contents into membership rows."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") % 11 == 6)  # the 'til' rows of the files fixture
+    til = d.select(
+        F.concat(F.lit("g"), (F.col("doc_id") % 9).cast("string"),
+                 F.lit(".til")).alias("til_name"),
+        F.concat(
+            F.lit('numTiles = 2;\nfilename = "m'),
+            F.col("doc_id").cast("string"),
+            F.lit('_a.tif";\n  filename  =  m'),
+            F.col("doc_id").cast("string"),
+            F.lit('_b.tif ;\n')).alias("content"))
+    return groups.parse_til_members(til).select("til_name", "member")
+
+
+QUERIES.update({
+    "events_json": q_events_json,
+    "sessionize": q_sessionize,
+    "til_members": q_til_members,
+})
+
+ORACLES.update({
+    "events_json": """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k
+FROM events
+""",
+    "sessionize": """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id)
+                   > 1800 * 1000000
+              OR LAG(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev),
+sess AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us
+FROM sess GROUP BY 1, 2
+""",
+    "til_members": """
+WITH til AS (
+  SELECT 'g' || CAST(doc_id % 9 AS VARCHAR) || '.til' AS til_name,
+         'numTiles = 2;' || chr(10) ||
+         'filename = "m' || CAST(doc_id AS VARCHAR) || '_a.tif";' || chr(10)
+         || '  filename  =  m' || CAST(doc_id AS VARCHAR) || '_b.tif ;'
+         || chr(10) AS content
+  FROM documents WHERE doc_id % 11 = 6)
+SELECT til_name, trim(m) AS member
+FROM (SELECT til_name,
+             unnest(regexp_extract_all(content,
+                    'filename\\s*=\\s*"?([^";\\n]+)"?\\s*;', 1)) AS m
+      FROM til)
+""",
+})

@@ -38,6 +38,11 @@ class JobConf:
     levels: list[int] = field(default_factory=lambda: [0, 4, 8])
     resume: str = "resume"          # or "retryall"
     output_prefix: str = "tiles"
+    # fault injection for quarantine tests: pages with doc_id % N == 0
+    # "fail" on their first attempt (None = no injection). Mirrors the
+    # reference's failed-upload list + end-of-run retry pass
+    # (OptimizeRasters.py:3729-3740, :7004-7049).
+    inject_fail_mod: int | None = None
 
 
 class Engine:
@@ -66,6 +71,7 @@ class Engine:
             pages: DataFrame | None = None) -> dict[str, DataFrame]:
         conf = self.conf
         os.makedirs(conf.workdir, exist_ok=True)
+        L.vacuum(conf.workdir)  # drop snapshots no plan can reference now
         if pages is None:
             pages = synth_pages(spark, conf.sf_dir)
         pages = dedup.dedup_latest(pages)
@@ -81,19 +87,24 @@ class Engine:
         todo = L.pending(pages, led, "processed", "url")
         with lineage.StageTimer(spark, conf.workdir, self.run_id,
                                 "process", todo):
-            tiled = spatial.with_tiles(todo)
-            joined = spatial.pip_join(tiled, synth_boundaries(spark),
-                                      how="left")
-            out = joined.select(
-                "url", "doc_id", "tile_x", "tile_y", "polygon_id",
-                "warc_epoch", "lang", "text",
-                F.sha2(F.col("text"), 256).alias("text_sha"))
-            batch_dir = os.path.join(self._pages_out(),
-                                     f"batch={self.run_id}")
-            out.write.mode("overwrite").parquet(batch_dir)
-            L.merge_status(spark, conf.workdir,
-                           spark.read.parquet(batch_dir).select("url"),
-                           "processed", L.YES, self.run_id)
+            ok, failed = self._split_injected(todo)
+            self._process_batch(spark, ok, f"batch={self.run_id}")
+            if failed is not None:
+                # quarantine: mark 'no' (A6); dedup-append like
+                # _addToFailedList, then ONE retry pass at the end
+                L.merge_status(spark, conf.workdir, failed.select("url"),
+                               "processed", L.NO, self.run_id)
+
+        # ---- retry pass: reprocess quarantined rows once ----------------
+        led_now = L.read_ledger(spark, conf.workdir)
+        retry = pages.join(
+            led_now.where(F.col("processed") == L.NO).select("url"),
+            "url", "left_semi")
+        if retry.limit(1).count() > 0:
+            with lineage.StageTimer(spark, conf.workdir, self.run_id,
+                                    "retry", retry):
+                self._process_batch(spark, retry,
+                                    f"batch={self.run_id}-retry")
 
         # ---- stage "finalize": dedup + pyramids + manifest --------------
         all_pages = spark.read.parquet(self._pages_out())
@@ -118,6 +129,32 @@ class Engine:
             "manifest": spark.read.parquet(self._manifest_out()),
             "ledger": L.read_ledger(spark, conf.workdir),
         }
+
+    # -- internals -----------------------------------------------------------
+    def _split_injected(self, todo: DataFrame):
+        """Fault injection split: (ok, failed|None)."""
+        mod = self.conf.inject_fail_mod
+        if not mod:
+            return todo, None
+        return (todo.where(F.col("doc_id") % mod != 0),
+                todo.where(F.col("doc_id") % mod == 0))
+
+    def _process_batch(self, spark: SparkSession, batch: DataFrame,
+                       batch_name: str) -> None:
+        """Tile + PIP join a page batch, append its output dir, then MERGE
+        the ledger (write-before-mark = at-least-once + dedup)."""
+        tiled = spatial.with_tiles(batch)
+        joined = spatial.pip_join(tiled, synth_boundaries(spark),
+                                  how="left")
+        out = joined.select(
+            "url", "doc_id", "tile_x", "tile_y", "polygon_id",
+            "warc_epoch", "lang", "text",
+            F.sha2(F.col("text"), 256).alias("text_sha"))
+        batch_dir = os.path.join(self._pages_out(), batch_name)
+        out.write.mode("overwrite").parquet(batch_dir)
+        L.merge_status(spark, self.conf.workdir,
+                       spark.read.parquet(batch_dir).select("url"),
+                       "processed", L.YES, self.run_id)
 
     # -- embedding API ------------------------------------------------------
     def get_ledger(self, spark: SparkSession) -> DataFrame | None:

@@ -32,11 +32,22 @@ def ledger_path(workdir: str) -> str:
     return os.path.join(workdir, "ledger")
 
 
-def read_ledger(spark: SparkSession, workdir: str) -> DataFrame | None:
-    p = ledger_path(workdir)
-    if not os.path.exists(p):
+def _current_version_dir(workdir: str) -> str | None:
+    base = ledger_path(workdir)
+    ptr = os.path.join(base, "CURRENT")
+    if not os.path.exists(ptr):
         return None
-    return spark.read.parquet(p)
+    with open(ptr) as f:
+        name = f.read().strip()
+    d = os.path.join(base, name)
+    return d if os.path.isdir(d) else None
+
+
+def read_ledger(spark: SparkSession, workdir: str) -> DataFrame | None:
+    d = _current_version_dir(workdir)
+    if d is None:
+        return None
+    return spark.read.parquet(d)
 
 
 def init_ledger(spark: SparkSession, workdir: str, keys: DataFrame,
@@ -131,13 +142,35 @@ def has_failures(led: DataFrame) -> bool:
 
 
 def _atomic_overwrite(df: DataFrame, path: str) -> None:
-    """Write to a temp dir, then swap — a crash never leaves a torn
-    ledger (the reference's whole-file rewrite gave the same guarantee)."""
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
+    """Commit a new IMMUTABLE snapshot version and flip the CURRENT
+    pointer atomically (os.replace) — the local twin of an Iceberg
+    snapshot commit. Plans built against older versions keep reading
+    their own immutable directories (reader isolation); a crash between
+    write and pointer flip leaves the previous version current (no torn
+    state). ``vacuum()`` reclaims superseded versions between runs."""
+    os.makedirs(path, exist_ok=True)
+    vname = f"v-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(os.path.join(path, vname))
+    ptr_tmp = os.path.join(path, f".CURRENT.tmp-{uuid.uuid4().hex[:6]}")
+    with open(ptr_tmp, "w") as f:
+        f.write(vname)
+    os.replace(ptr_tmp, os.path.join(path, "CURRENT"))
+
+
+def vacuum(workdir: str) -> int:
+    """Drop all snapshot versions except CURRENT. Safe between runs
+    (no live plans) — the Iceberg expire-snapshots analog."""
+    base = ledger_path(workdir)
+    if not os.path.isdir(base):
+        return 0
+    cur = _current_version_dir(workdir)
+    cur_name = os.path.basename(cur) if cur else None
+    n = 0
+    for name in os.listdir(base):
+        if name == "CURRENT" or name == cur_name:
+            continue
+        full = os.path.join(base, name)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+            n += 1
+    return n

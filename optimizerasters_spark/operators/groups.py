@@ -72,6 +72,22 @@ def stem_groups(files: DataFrame, stem_col: str = "stem",
                  F.sum(size_col).alias("total_size")))
 
 
+def parse_til_members(tils: DataFrame, content_col: str = "content",
+                      name_col: str = "til_name") -> DataFrame:
+    """X10: parse `.til` tile-index content — lines of
+    ``filename = "member.tif";`` — into (til_name, member) rows
+    (TIL._processContent semantics, OptimizeRasters.py:2256-2279:
+    quoted or bare values, ';' terminated, whitespace-tolerant).
+    Pure regexp_extract_all + explode, JVM-side."""
+    rx = 'filename\\s*=\\s*"?([^";\\n]+)"?\\s*;'
+    # lit pattern (not F.expr) — SQL string literals would eat the
+    # backslash escapes
+    members = F.regexp_extract_all(F.col(content_col), F.lit(rx), F.lit(1))
+    return (tils.select(F.col(name_col),
+                        F.explode(members).alias("member"))
+            .withColumn("member", F.trim(F.col("member"))))
+
+
 def job_success(ledger: DataFrame, status_col: str = "processed"
                 ) -> DataFrame:
     """A5: single-row job verdict + status histogram."""

@@ -1,0 +1,110 @@
+"""Config + encoder parameter matrix goldens (X1/X6/X8 semantics)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from optimizerasters_spark.config import (
+    Config, format_extensions, get_boolean_value,
+)
+from optimizerasters_spark.operators import encoder
+
+TEMPLATE = os.path.join(os.path.dirname(__file__), "..",
+                        "optimizerasters_spark", "templates",
+                        "imagery_mrf_lerc.xml")
+
+
+# getBooleanValue truth table (OptimizeRasters.py:56-67)
+@pytest.mark.parametrize("val,want", [
+    ("true", True), ("TRUE", True), ("yes", True), ("t", True),
+    ("1", True), ("y", True), ("Y", True),
+    ("false", False), ("no", False), ("0", False), ("on", False),
+    ("", False), (None, False), (True, True), (False, False),
+    (1, True), (0, False), ("enabled", False),
+])
+def test_boolean_truth_table(val, want):
+    assert get_boolean_value(val) == want
+
+
+def test_format_extensions():
+    assert format_extensions(" tif , mrf ,, til ") == ["tif", "mrf", "til"]
+    assert format_extensions(None) == []
+
+
+def test_template_load_and_overrides():
+    c = Config.from_xml(TEMPLATE)
+    assert c.get_value("Mode") == "mrf"
+    assert c.get_value("BlockSize") == "512"
+    assert c.get_value("PyramidFactor") is None      # empty -> default
+    assert c.extensions("RasterFormatFilter") == ["tif", "mrf", "til"]
+    assert c.get_boolean("IncludeSubdirectories") is True
+    c.set_value("BlockSize", "1024")                 # CLI override wins
+    assert c.get_value("BlockSize") == "1024"
+    assert c.validate_mode() == "mrf"
+    c.set_value("Mode", "nonsense")
+    with pytest.raises(ValueError):
+        c.validate_mode()
+
+
+def test_encoder_mrf_lerc_defaults():
+    p = encoder.resolve(Config.from_xml(TEMPLATE))
+    co = p.creation_options()
+    assert p.out_format == "MRF"
+    assert co["COMPRESS"] == "lerc"
+    assert co["OPTIONS"] == "LERC_PREC=0.5 V2=ON"
+    assert co["BLOCKSIZE"] == "512"
+    assert "BLOCKXSIZE" not in co
+
+
+def test_encoder_tif_jpeg_matrix():
+    c = Config(dict(Mode="tif_jpeg", Quality="75"))
+    p = encoder.resolve(c, n_bands=3)
+    co = p.creation_options()
+    assert p.out_format == "GTiff"
+    assert co["BIGTIFF"] == "YES" and co["TILED"] == "YES"
+    assert co["COMPRESS"] == "jpeg" and co["JPEG_QUALITY"] == "75"
+    assert co["PHOTOMETRIC"] == "YCBCR"          # multiband pixel jpeg
+    assert co["BLOCKXSIZE"] == "512" and co["BLOCKYSIZE"] == "512"
+    # single band -> no ycbcr
+    assert "PHOTOMETRIC" not in encoder.resolve(
+        c, n_bands=1).creation_options()
+
+
+def test_encoder_jpeg12_and_cog():
+    p = encoder.resolve(Config(dict(Mode="tif_jpeg12")), n_bands=3)
+    co = p.creation_options()
+    assert co["NBITS"] == "12" and co["COMPRESS"] == "jpeg"
+    p2 = encoder.resolve(Config(dict(Mode="tif_cog")), n_bands=3)
+    co2 = p2.creation_options()
+    assert p2.out_format == "COG"
+    assert co2["COMPRESS"] == "deflate"          # COG forces deflate
+    assert "TILED" not in co2 and "INTERLEAVE" not in co2
+
+
+def test_encoder_deflate_predictor_and_meta():
+    p = encoder.resolve(Config(dict(Mode="tif_lzw", Predictor="2")))
+    assert p.creation_options()["predictor"] == "2"
+    m = encoder.resolve(Config(dict(Mode="rasterproxy", Scale="3")),
+                        meta=True)
+    co = m.creation_options()
+    assert co["NOCOPY"] == "True" and m.scale == 3
+
+
+def test_encoder_struct_col(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("mrf", "lerc", None, None),
+         ("tif_jpeg", "lerc", 75, 256),
+         ("tif_cog", "jpeg", None, None)],
+        "mode STRING, compression STRING, quality INT, block_size INT")
+    out = df.select(encoder.encoder_struct_col(
+        F.col("mode"), F.col("compression"), F.col("quality"),
+        F.col("block_size")).alias("e")).collect()
+    e0, e1, e2 = [r["e"] for r in out]
+    assert e0["out_format"] == "MRF" and e0["compression"] == "lerc" \
+        and e0["quality"] == 85 and e0["options"] == "V2=ON"
+    assert e1["out_format"] == "GTiff" and e1["compression"] == "jpeg" \
+        and e1["quality"] == 75 and e1["block_size"] == 256
+    assert e2["out_format"] == "COG" and e2["compression"] == "deflate"

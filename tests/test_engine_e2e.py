@@ -116,3 +116,26 @@ def test_partial_preseed_resume(spark, sf_dir, workdir):
                      (F.col("stage") == "process"))
              .agg(F.sum("rows")).collect()[0][0])
     assert total == n_total - n_done
+
+
+def test_quarantine_and_retry_pass(spark, sf_dir, tmp_path):
+    """A6: injected failures land in the ledger as 'no', the end-of-run
+    retry pass recovers them, final state is complete and failure-free."""
+    wd = str(tmp_path / "qjob")
+    eng = Engine(JobConf(sf_dir=sf_dir, workdir=wd, inject_fail_mod=7))
+    res = eng.run(spark)
+    led = res["ledger"]
+    assert led.where(F.col("processed") != "yes").count() == 0
+    assert not eng.has_failures(spark)
+    m = eng.get_metrics(spark)
+    stages = {r["stage"] for r in m.collect()}
+    assert "retry" in stages
+    n_retry = (m.where((F.col("stage") == "retry") &
+                       (F.col("run_id") == eng.run_id))
+               .agg(F.sum("rows")).collect()[0][0])
+    src = synth_pages(spark, sf_dir)
+    assert n_retry == src.where(F.col("doc_id") % 7 == 0).count()
+    # no duplicate outputs despite the two-phase write
+    out = res["page_tiles"]
+    assert out.groupBy("url", "polygon_id").count() \
+              .where(F.col("count") > 1).count() == 0

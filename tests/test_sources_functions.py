@@ -81,3 +81,34 @@ def test_haversine_sane(spark):
         F.col("lon1") - 180000, F.col("lat1"),
         F.col("lon2") - 180000, F.col("lat2")).alias("km")).collect()[0][0]
     assert 5000 < km < 7000  # NYC-Paris ~5840 km
+
+
+def test_expand_tars(spark, tmp_path):
+    import io
+    import tarfile
+
+    from optimizerasters_spark.sources.archive import expand_tars
+
+    def mk_tar(files):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+            for name, data in files:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+        return buf.getvalue()
+
+    rows = [
+        ("a.tgz", mk_tar([("x.tif", b"AAAA"), ("d/y.mrf", b"BB")])),
+        ("b.tgz", mk_tar([("z.til", b"filename = \"m.tif\";")])),
+        ("broken.tgz", b"not a tar at all"),
+    ]
+    df = spark.createDataFrame(rows, "archive STRING, data BINARY")
+    out = expand_tars(df)
+    ok = {(r["archive"], r["member"]): bytes(r["payload"])
+          for r in out.where("extract_ok").collect()}
+    assert ok[("a.tgz", "x.tif")] == b"AAAA"
+    assert ok[("a.tgz", "d/y.mrf")] == b"BB"
+    assert ok[("b.tgz", "z.til")].startswith(b"filename")
+    bad = out.where("NOT extract_ok").collect()
+    assert len(bad) == 1 and bad[0]["archive"] == "broken.tgz"
