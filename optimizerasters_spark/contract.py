@@ -896,3 +896,101 @@ FROM (SELECT til_name,
       FROM til)
 """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: exact Jaccard, rollup/grouping sets, set operations
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(d, num_hashes=8, bands=4, shingle_n=3)
+
+
+def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(lang, source) — the grouping-sets surface; the pyramid
+    stack is the engine's spatial rollup, this is the relational one."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (d.rollup("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .select("lang", "source",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("sum_chars").cast("bigint").alias("sum_chars")))
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: english docs vs even doc_ids."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    en = d.where(F.col("lang") == "en").select("doc_id")
+    even = d.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    both = en.intersect(even).withColumn("op", F.lit("intersect"))
+    only_en = en.exceptAll(even).withColumn("op", F.lit("except"))
+    return both.unionByName(only_en).select("op", "doc_id")
+
+
+QUERIES.update({
+    "ngram_jaccard": q_ngram_jaccard,
+    "lang_source_rollup": q_lang_source_rollup,
+    "set_ops": q_set_ops,
+})
+
+ORACLES.update({
+    "ngram_jaccard": """
+WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents),
+sh AS (SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, GREATEST(len(t) - 3, 0)),
+           i -> array_to_string(t[i+1:i+3], ' '))) AS s
+       FROM tk),
+sig AS (SELECT doc_id,
+          list_transform(generate_series(0, 7),
+            i -> list_min(list_transform(s,
+                   x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS g
+        FROM sh),
+banded AS (
+  SELECT doc_id, b.band_id,
+         array_to_string(g[b.band_id*2+1:b.band_id*2+2], '|') AS band_key
+  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN ex ea ON ea.doc_id = p.doc_a
+  JOIN ex eb ON eb.doc_id = p.doc_b AND eb.sng = ea.sng
+  GROUP BY 1, 2)
+SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(FLOOR(i.n_inter * 1000000 /
+                  (sa.n_sh + sb.n_sh - i.n_inter)) AS BIGINT)
+         AS jaccard_micro
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+""",
+    "lang_source_rollup": """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+""",
+    "set_ops": """
+WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+even AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+SELECT 'intersect' AS op, doc_id FROM (SELECT doc_id FROM en
+                                       INTERSECT
+                                       SELECT doc_id FROM even)
+UNION ALL
+SELECT 'except' AS op, doc_id FROM (SELECT doc_id FROM en
+                                    EXCEPT ALL
+                                    SELECT doc_id FROM even)
+""",
+})

@@ -90,6 +90,44 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def ngram_jaccard_pairs(docs: DataFrame, num_hashes: int = 8,
+                        bands: int = 4, shingle_n: int = 3,
+                        text_col: str = "text",
+                        min_jaccard_micro: int = 0) -> DataFrame:
+    """Exact n-gram Jaccard on LSH candidate pairs (doc_a < doc_b).
+
+    Pipeline shape for 10^12 docs: candidates come from LSH (bounded),
+    then ONE shuffle joins each pair to its two shingle sets via the
+    exploded shingle table; intersection is a count, union from per-doc
+    set sizes. jaccard_micro = floor(|A∩B| * 1e6 / |A∪B|) — exact
+    integers end to end."""
+    pairs = lsh_candidate_pairs(docs, num_hashes, bands, shingle_n,
+                                text_col)
+    sh = docs.select("doc_id",
+                     F.explode(shingles_col(text_col, shingle_n))
+                      .alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (pairs.join(sa, "doc_a").join(sb, ["doc_b", "s"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (inter
+           .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                              F.col("n_sh").alias("n_a")), "doc_a")
+           .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                              F.col("n_sh").alias("n_b")), "doc_b")
+           .withColumn("jaccard_micro",
+                       F.floor(F.col("n_inter") * 1000000 /
+                               (F.col("n_a") + F.col("n_b") -
+                                F.col("n_inter"))).cast("bigint")))
+    return (out.where(F.col("jaccard_micro") >= min_jaccard_micro)
+            .select(F.col("doc_a").cast("bigint"),
+                    F.col("doc_b").cast("bigint"),
+                    F.col("n_inter").cast("bigint").alias("n_inter"),
+                    "jaccard_micro"))
+
+
 def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
                         shingle_n: int = 3,
                         text_col: str = "text") -> DataFrame:

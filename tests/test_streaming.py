@@ -55,3 +55,35 @@ def test_windowed_rates_plan(spark, sf_dir, tmp_path):
     # append mode emits only watermark-closed windows; table must exist
     assert spark.sql("SELECT * FROM rates").columns == \
         ["window", "lang", "page_count"]
+
+
+def test_stateful_crawl_tracker(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: per-url running state across micro-batches
+    equals the batch aggregate."""
+    from optimizerasters_spark.streaming.stateful import (
+        crawl_tracker_stream,
+    )
+
+    input_dir = str(tmp_path / "st_in")
+    pages = synth_pages(spark, sf_dir).select(
+        "url", "warc_epoch", (F.col("doc_id") % 3).alias("batch_id"))
+    pages.limit(300).write.mode("append").parquet(input_dir)
+
+    stream = (spark.readStream
+              .schema("url STRING, warc_epoch BIGINT, batch_id BIGINT")
+              .parquet(input_dir))
+    out = crawl_tracker_stream(stream)
+    q = (out.writeStream.format("memory").queryName("tracker")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {r["url"]: (r["n_crawls"], r["latest_epoch"])
+           for r in spark.sql("SELECT * FROM tracker").collect()}
+    want = {r["url"]: (r["n"], r["mx"])
+            for r in (spark.read.parquet(input_dir)
+                      .groupBy("url")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.max("warc_epoch").alias("mx"))).collect()}
+    assert got == want
