@@ -994,3 +994,84 @@ SELECT 'except' AS op, doc_id FROM (SELECT doc_id FROM en
                                     SELECT doc_id FROM even)
 """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: raster <-> vector tile materialization
+# ---------------------------------------------------------------------------
+
+def q_tile_bin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimizerasters_spark.operators import raster
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    return raster.tile_bin_counts(p).select(
+        "tile_x", "tile_y", F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("bigint").alias("n"))
+
+
+def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimizerasters_spark.operators import raster
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    return raster.rasterize_tiles(p).select(
+        "tile_x", "tile_y", "grid_csv",
+        F.col("page_count").cast("bigint").alias("page_count"))
+
+
+def q_vectorize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimizerasters_spark.operators import raster
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    return raster.vectorize_tiles(p, threshold=2)
+
+
+QUERIES.update({
+    "tile_bin_counts": q_tile_bin_counts,
+    "rasterize_tiles": q_rasterize_tiles,
+    "vectorize_tiles": q_vectorize_tiles,
+})
+
+_BIN_CTE = f"""
+t0 AS (SELECT doc_id,
+  CAST(FLOOR(lon_md * {WORLD_W} / 360000) AS BIGINT) AS px_x,
+  CAST(FLOOR(lat_md * {WORLD_H} / 170000) AS BIGINT) AS px_y,
+  {_TILE_SQL}
+  FROM pages),
+sparse AS (
+  SELECT tile_x, tile_y,
+    CAST(FLOOR((px_y - tile_y * 512) * 16 / 512) * 16 +
+         FLOOR((px_x - tile_x * 512) * 16 / 512) AS INT) AS bin,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM t0 GROUP BY 1, 2, 3)
+"""
+
+ORACLES.update({
+    "tile_bin_counts": f"""
+{_W},
+{_BIN_CTE.strip()}
+SELECT tile_x, tile_y, bin, n FROM sparse
+""",
+    "rasterize_tiles": f"""
+{_W},
+{_BIN_CTE.strip()},
+tiles AS (SELECT DISTINCT tile_x, tile_y FROM sparse),
+dense AS (
+  SELECT t.tile_x, t.tile_y, CAST(b.range AS INT) AS bin,
+         COALESCE(s.n, 0) AS n
+  FROM tiles t CROSS JOIN range(0, 256) b
+  LEFT JOIN sparse s ON s.tile_x = t.tile_x AND s.tile_y = t.tile_y
+                    AND s.bin = CAST(b.range AS INT))
+SELECT tile_x, tile_y,
+       array_to_string(list(CAST(n AS VARCHAR) ORDER BY bin), ',')
+         AS grid_csv,
+       CAST(SUM(n) AS BIGINT) AS page_count
+FROM dense GROUP BY 1, 2
+""",
+    "vectorize_tiles": f"""
+{_W},
+{_BIN_CTE.strip()}
+SELECT tile_x, tile_y, bin, n,
+  CAST(FLOOR((CAST(tile_x AS BIGINT) * 512 + (bin % 16) * 32 + 16) * 360000
+             / {WORLD_W}) AS BIGINT) AS centroid_lon_md,
+  CAST(FLOOR((CAST(tile_y AS BIGINT) * 512 + (bin // 16) * 32 + 16) * 170000
+             / {WORLD_H}) AS BIGINT) AS centroid_lat_md
+FROM sparse WHERE n >= 2
+""",
+})
