@@ -62,21 +62,24 @@ def tile_counts_at_levels(pages_with_tiles: DataFrame,
             .agg(F.sum("page_count").alias("page_count")))
 
 
-def _cover_cells(lo: int, hi: int, cell: int) -> list[int]:
-    """Cells intersecting the half-open interval [lo, hi)."""
-    return list(range(lo // cell, (hi - 1) // cell + 1))
-
-
-def polygon_cover(boundaries_rows: list, cell_md: int = COVER_CELL_MD):
-    """Driver-side expansion of polygon bboxes to covering coarse cells.
-    The boundaries dimension is small by design (admin polygons); at scale
-    this list lives comfortably in a broadcast (<< the 8 GB limit)."""
-    cover = []
-    for r in boundaries_rows:
-        for cx in _cover_cells(r["lon_lo_md"], r["lon_hi_md"], cell_md):
-            for cy in _cover_cells(r["lat_lo_md"], r["lat_hi_md"], cell_md):
-                cover.append((r["polygon_id"], tiling.pack_cell(cx, cy)))
-    return cover
+def polygon_cover_df(boundaries: DataFrame,
+                     cell_md: int = COVER_CELL_MD) -> DataFrame:
+    """Distributed cover expansion: polygons -> (polygon_id, cell) rows
+    via explode(sequence) on the bbox — no driver collect, so the
+    polygon side can itself be a large table (county/parcel scale).
+    Output size = sum of covered cells per polygon; still broadcast-able
+    whenever it fits, and Catalyst decides."""
+    cx = F.explode(F.sequence(
+        F.floor(F.col("lon_lo_md") / cell_md),
+        F.floor((F.col("lon_hi_md") - 1) / cell_md))).alias("cx")
+    with_cx = boundaries.select("polygon_id", "lat_lo_md", "lat_hi_md", cx)
+    cy = F.explode(F.sequence(
+        F.floor(F.col("lat_lo_md") / cell_md),
+        F.floor((F.col("lat_hi_md") - 1) / cell_md))).alias("cy")
+    return (with_cx.select("polygon_id", "cx", cy)
+            .select("polygon_id",
+                    tiling.pack_cell_col(F.col("cx"), F.col("cy"))
+                    .alias("cell")))
 
 
 def pip_join(pages: DataFrame, boundaries: DataFrame,
@@ -85,11 +88,11 @@ def pip_join(pages: DataFrame, boundaries: DataFrame,
 
     Emits one row per (page, containing polygon); half-open box semantics
     [lo, hi). ``how='left'`` keeps pages matching no polygon (polygon_id
-    NULL) — the reference's raster/non-raster split analog."""
-    spark = pages.sparkSession
-    b_rows = boundaries.collect()
-    cover = spark.createDataFrame(
-        polygon_cover(b_rows, cell_md), "polygon_id BIGINT, cell BIGINT")
+    NULL) — the reference's raster/non-raster split analog.
+
+    The cover table is built DISTRIBUTED (polygon_cover_df) and
+    broadcast; the pages side never shuffles."""
+    cover = polygon_cover_df(boundaries, cell_md)
     cands = pages.withColumn(
         "cell",
         tiling.pack_cell_col(F.floor(F.col("lon_md") / cell_md),
