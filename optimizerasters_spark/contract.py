@@ -573,6 +573,8 @@ FROM documents GROUP BY 1
     "token_count": """
 SELECT doc_id,
   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+    AS n_re_tokens,
   CAST(length(text) AS BIGINT) AS n_chars_calc,
   CAST(CEIL(length(text) / 4) AS BIGINT) AS n_bpe_est
 FROM documents

@@ -20,12 +20,15 @@ def tokens_col(text_col: str = "text") -> Column:
 
 
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish proxy (4 chars/token heuristic) +
-    char count."""
+    """Whitespace tokens, regex word tokens (the BPE-ish pre-tokenizer
+    split), a 4-chars/token BPE estimate, and char count."""
     toks = tokens_col(text_col)
+    re_toks = F.regexp_extract_all(F.col(text_col),
+                                   F.lit("\\w+|[^\\w\\s]"), F.lit(0))
     return docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(re_toks).cast("bigint").alias("n_re_tokens"),
         F.length(F.col(text_col)).cast("bigint").alias("n_chars_calc"),
         F.ceil(F.length(F.col(text_col)) / 4).cast("bigint")
          .alias("n_bpe_est"))
