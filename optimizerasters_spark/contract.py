@@ -1077,3 +1077,61 @@ SELECT tile_x, tile_y, bin, n,
 FROM sparse WHERE n >= 2
 """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: distinct aggregation, corpus top-k tokens
+# ---------------------------------------------------------------------------
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (the HLL slot at scale —
+    approx_count_distinct swaps in plan-compatibly)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select("event_type",
+                    F.col("n_users").cast("bigint").alias("n_users"),
+                    F.col("n_events").cast("bigint").alias("n_events")))
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-25 tokens: explode -> count -> deterministic
+    rank (count desc, token asc). The canonical web-text frequency scan:
+    one explode + one map-side-combined aggregation."""
+    from pyspark.sql.window import Window
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(F.explode(F.split(F.lower(F.col("text")), " "))
+                    .alias("token")).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (counts.withColumn("tok_rank", F.row_number().over(w))
+            .where(F.col("tok_rank") <= 25)
+            .select(F.col("tok_rank").cast("int").alias("tok_rank"),
+                    "token", F.col("n").cast("bigint").alias("n")))
+
+
+QUERIES.update({
+    "distinct_users": q_distinct_users,
+    "top_tokens": q_top_tokens,
+})
+
+ORACLES.update({
+    "distinct_users": """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""",
+    "top_tokens": """
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks WHERE token <> '' GROUP BY 1)
+SELECT CAST(r AS INT) AS tok_rank, token, n
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+      FROM counts)
+WHERE r <= 25
+""",
+})
