@@ -48,7 +48,10 @@ def main() -> None:
     n_pages = pages.count()  # also warms JVM + scan
 
     timings: dict[str, float] = {}
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # min-of-3 default: this host shows bursty kernel/steal contention at
+    # high thread counts (see BENCH.md); one bad window otherwise poisons
+    # the headline number
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     def bench(name: str, fn) -> None:
         best = None
