@@ -1135,3 +1135,32 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
 WHERE r <= 25
 """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch 9: exact percentiles
+# ---------------------------------------------------------------------------
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (approx_percentile swaps
+    in plan-compatibly at 100 TB)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("cents", F.floor(F.col("value") * 100).cast("bigint"))
+    return (ev.groupBy("event_type")
+            .agg(F.expr("percentile(cents, 0.25)").alias("p25"),
+                 F.expr("percentile(cents, 0.5)").alias("p50"),
+                 F.expr("percentile(cents, 0.75)").alias("p75")))
+
+
+QUERIES.update({"value_percentiles": q_value_percentiles})
+ORACLES.update({
+    "value_percentiles": """
+WITH ev AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+            FROM events)
+SELECT event_type,
+  quantile_cont(cents, 0.25) AS p25,
+  quantile_cont(cents, 0.5) AS p50,
+  quantile_cont(cents, 0.75) AS p75
+FROM ev GROUP BY 1
+""",
+})

@@ -58,3 +58,30 @@ def test_knn_prefilters_before_window(spark, sf_dir):
     # bbox predicate must sit below the join (pages filtered pre-shuffle)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key pre-co-locates them: the
+    sort-merge join needs NO Exchange on either side — the recipe for
+    repeated fact-fact joins at 100 TB (write once bucketed, join many
+    times shuffle-free)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey") \
+        .mode("overwrite").saveAsTable("li_b")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey") \
+        .mode("overwrite").saveAsTable("o_b")
+    j = (spark.table("li_b")
+         .join(spark.table("o_b").hint("merge"),
+               F.col("l_orderkey") == F.col("o_orderkey")))
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and it actually runs
+    assert j.count() > 0
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
