@@ -1096,17 +1096,22 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level top-25 tokens: explode -> count -> deterministic
-    rank (count desc, token asc). The canonical web-text frequency scan:
-    one explode + one map-side-combined aggregation."""
+    """Corpus-level top-25 tokens: explode -> count -> orderBy().limit().
+
+    The limit form compiles to TakeOrderedAndProject — per-partition
+    top-k heaps merged on the driver — instead of a partition-less
+    Window, which would sort every distinct token (10^8+ on a web
+    corpus) on ONE reducer. The rank column is re-derived by a window
+    over the already-limited 25 rows (constant-bounded by construction).
+    """
     from pyspark.sql.window import Window
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = d.select(F.explode(F.split(F.lower(F.col("text")), " "))
                     .alias("token")).where(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(25)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (counts.withColumn("tok_rank", F.row_number().over(w))
-            .where(F.col("tok_rank") <= 25)
+    return (top.withColumn("tok_rank", F.row_number().over(w))
             .select(F.col("tok_rank").cast("int").alias("tok_rank"),
                     "token", F.col("n").cast("bigint").alias("n")))
 
@@ -1162,5 +1167,45 @@ SELECT event_type,
   quantile_cont(cents, 0.5) AS p50,
   quantile_cont(cents, 0.75) AS p75
 FROM ev GROUP BY 1
+""",
+})
+
+
+# ---------------------------------------------------------------------------
+# Batch 10 (round 2): proxy CSV ids without a global window
+# ---------------------------------------------------------------------------
+
+def q_proxy_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 ObjectID;Raster rows — dense ids via partition-offset
+    zip-with-index (no partition-less Window over the manifest)."""
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    counts = spatial.tile_counts_at_levels(p, MANIFEST_LEVELS)
+    m = manifest.tile_manifest(counts)
+    out = manifest.proxy_csv_rows(m, id_offset=1000)
+    return out.select(F.col("object_id").cast("bigint").alias("object_id"),
+                      "csv_row")
+
+
+QUERIES.update({"proxy_csv": q_proxy_csv})
+ORACLES.update({
+    "proxy_csv": f"""
+{_W},
+t0 AS (SELECT {_TILE_SQL} FROM pages),
+counts AS (
+  SELECT CAST(l.lv AS INT) AS level,
+         CAST(t.tile_x >> l.lv AS INT) AS tile_x,
+         CAST(t.tile_y >> l.lv AS INT) AS tile_y,
+         CAST(COUNT(*) AS BIGINT) AS page_count
+  FROM t0 t CROSS JOIN (VALUES (0),(4),(8)) l(lv)
+  GROUP BY 1, 2, 3),
+man AS (
+  SELECT 'L' || CAST(level AS VARCHAR) || '/' || CAST(tile_x AS VARCHAR)
+           || '/' || CAST(tile_y AS VARCHAR) AS tile_id,
+         'tiles/L' || CAST(level AS VARCHAR) || '/' || CAST(tile_x AS VARCHAR)
+           || '/' || CAST(tile_y AS VARCHAR) || '.mrf' AS source_uri
+  FROM counts)
+SELECT CAST(rn + 1000 AS BIGINT) AS object_id,
+       CAST(rn + 1000 AS VARCHAR) || ';' || source_uri AS csv_row
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY tile_id) AS rn FROM man)
 """,
 })

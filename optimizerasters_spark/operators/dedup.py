@@ -65,9 +65,22 @@ def shingles_col(text_col, n: int = 3):
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
 
 
+def exploded_shingles(docs: DataFrame, shingle_n: int = 3,
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, s) exploded distinct-shingle table — built ONCE and shared
+    between signature generation and exact-Jaccard verification so the
+    explode (the widest intermediate in the near-dup pipeline) is a single
+    plan subtree. Downstream groupBy(doc_id) consumers canonicalize to the
+    same Exchange and Catalyst reuses it (ReusedExchange)."""
+    return docs.select(
+        "doc_id",
+        F.explode(shingles_col(text_col, shingle_n)).alias("s"))
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
                        shingle_n: int = 3,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       shingles: DataFrame | None = None) -> DataFrame:
     """doc_id -> array of num_hashes min-md5 values (hex strings).
 
     hash_i(doc) = min over shingles of md5(i || ':' || shingle). md5 output
@@ -77,9 +90,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
     The mins partial-aggregate map-side (shuffle carries num_hashes hex
     strings per doc per map task) and the md5 calls run in whole-stage
     codegen — nested array lambdas would evaluate interpreted."""
-    sh = docs.select(
-        "doc_id",
-        F.explode(shingles_col(text_col, shingle_n)).alias("s"))
+    sh = shingles if shingles is not None \
+        else exploded_shingles(docs, shingle_n, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -101,11 +113,9 @@ def ngram_jaccard_pairs(docs: DataFrame, num_hashes: int = 8,
     exploded shingle table; intersection is a count, union from per-doc
     set sizes. jaccard_micro = floor(|A∩B| * 1e6 / |A∪B|) — exact
     integers end to end."""
+    sh = exploded_shingles(docs, shingle_n, text_col)
     pairs = lsh_candidate_pairs(docs, num_hashes, bands, shingle_n,
-                                text_col)
-    sh = docs.select("doc_id",
-                     F.explode(shingles_col(text_col, shingle_n))
-                      .alias("s"))
+                                text_col, shingles=sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -130,14 +140,16 @@ def ngram_jaccard_pairs(docs: DataFrame, num_hashes: int = 8,
 
 def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
                         shingle_n: int = 3,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Near-dup candidate pairs (doc_a < doc_b) sharing >= 1 LSH band.
 
     bands of rows_per_band hashes each; band key = concat of its hashes.
     The band explode shuffles on (band_id, band_key) — uniform unless
     true near-dups exist, which is exactly the skew we want to find."""
     rpb = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, shingle_n, text_col)
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, text_col,
+                              shingles=shingles)
     banded = sigs.select(
         "doc_id",
         F.explode(

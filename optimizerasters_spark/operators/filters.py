@@ -110,9 +110,12 @@ def sniff_dispatch(df: DataFrame, payload_col: str = "html") -> DataFrame:
     """F8: dispatch on the first payload bytes (no full-content read —
     column pruning gives the cheap classify the reference got from ranged
     GETs). '<MRF' -> clonemrf, other markup -> cachingmrf, else raw."""
-    head = F.substring(F.col(payload_col).cast("string"), 1, 5)
+    # substring directly on the BINARY column — a string cast would be
+    # lossy on arbitrary (non-UTF-8) payload bytes; byte-equality on the
+    # prefix is exact for any payload.
+    p = F.col(payload_col)
     return df.withColumn(
         "dispatch",
-        F.when(head.startswith("<MRF"), F.lit("clonemrf"))
-         .when(head.startswith("<"), F.lit("cachingmrf"))
+        F.when(F.substring(p, 1, 4) == F.lit(b"<MRF"), F.lit("clonemrf"))
+         .when(F.substring(p, 1, 1) == F.lit(b"<"), F.lit("cachingmrf"))
          .otherwise(F.lit("raw")))

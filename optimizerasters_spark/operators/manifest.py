@@ -38,15 +38,45 @@ def tile_manifest(tile_counts: DataFrame, output_prefix: str = "tiles",
                            "source_uri")))
 
 
-def proxy_csv_rows(manifest: DataFrame, id_offset: int = 0) -> DataFrame:
+def proxy_csv_rows(manifest: DataFrame, id_offset: int = 0,
+                   num_partitions: int | None = None) -> DataFrame:
     """S13: the ``ObjectID;Raster`` flattened form, one row per tile.
-    Deterministic object ids from a dense rank over tile_id (the reference
-    used a time-based offset; determinism wins here)."""
+    Deterministic dense object ids equal to ROW_NUMBER() OVER (ORDER BY
+    tile_id) — but WITHOUT a partition-less Window (which would sort the
+    full manifest, billions of tiles at 100x, on one reducer).
+
+    Zip-with-index per partition instead: range-partition + sort within
+    partitions on tile_id, derive the within-partition row index from
+    ``monotonically_increasing_id`` (documented layout: pid * 2^33 +
+    local index), aggregate per-partition counts (O(#partitions) rows),
+    turn them into cumulative offsets, and broadcast-join the offsets
+    back. Global id = offset(pid) + local index. The only partition-less
+    window runs over the #partitions-row offsets table — bounded by the
+    shuffle-partition count, never by data volume.
+
+    Both plan branches hang off the same range Exchange, which Catalyst
+    deduplicates (ReusedExchange) — the partition boundaries are computed
+    once, so pid assignments are consistent across branches
+    (tests/test_plans.py asserts the reuse)."""
     from pyspark.sql.window import Window
-    w = Window.orderBy("tile_id")
-    return (manifest
+    staged = (manifest
+              .repartitionByRange(*([num_partitions] if num_partitions
+                                    else []), "tile_id")
+              .sortWithinPartitions("tile_id")
+              .withColumn("_mid", F.monotonically_increasing_id())
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_local",
+                          F.col("_mid") -
+                          (F.col("_pid").cast("bigint") * F.lit(1 << 33))))
+    counts = staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off"))
+    return (staged.join(F.broadcast(offsets), "_pid")
             .withColumn("object_id",
-                        (F.row_number().over(w) + id_offset).cast("bigint"))
+                        (F.col("_off") + F.col("_local") + 1 + id_offset)
+                        .cast("bigint"))
             .select("object_id",
                     F.concat_ws(";", F.col("object_id").cast("string"),
                                 F.col("source_uri")).alias("csv_row")))

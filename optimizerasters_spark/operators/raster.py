@@ -52,24 +52,27 @@ def tile_bin_counts(pages_with_tiles: DataFrame,
 def rasterize_tiles(pages_with_tiles: DataFrame,
                     bins: int = BINS) -> DataFrame:
     """Dense form: one row per tile, ``grid_csv`` = bins*bins counts in
-    bin order (zeros filled) — the materialized "pixel block". Dense
-    fill via explode(sequence) + left join keeps everything JVM-side."""
+    bin order (zeros filled) — the materialized "pixel block".
+
+    ONE aggregation: collect the sparse (bin, n) pairs per tile into a
+    map, then expand ``transform(sequence(0, bins*bins-1))`` with a map
+    lookup (missing bin -> 0). The previous shape exploded a dense bin id
+    per tile and re-joined + re-aggregated — an extra bins*bins-row
+    intermediate and a second shuffle for the same result."""
     sparse = tile_bin_counts(pages_with_tiles, bins)
-    tiles = sparse.select("tile_x", "tile_y").distinct()
-    all_bins = tiles.select(
-        "tile_x", "tile_y",
-        F.explode(F.sequence(F.lit(0), F.lit(bins * bins - 1)))
-         .alias("bin"))
-    dense = (all_bins.join(sparse, ["tile_x", "tile_y", "bin"], "left")
-             .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
-    return (dense.groupBy("tile_x", "tile_y")
-            .agg(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct(F.col("bin"), F.col("n")))),
-                    lambda s: s["n"].cast("string")), ",")
-                .alias("grid_csv"),
-                F.sum("n").alias("page_count")))
+    bin_map = F.map_from_entries(
+        F.collect_list(F.struct(F.col("bin"), F.col("n"))))
+    dense_counts = F.transform(
+        F.sequence(F.lit(0), F.lit(bins * bins - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("_m"), i), F.lit(0)))
+    return (sparse.groupBy("tile_x", "tile_y")
+            .agg(bin_map.alias("_m"), F.sum("n").alias("page_count"))
+            .select("tile_x", "tile_y",
+                    F.array_join(
+                        F.transform(dense_counts,
+                                    lambda n: n.cast("string")), ",")
+                    .alias("grid_csv"),
+                    "page_count"))
 
 
 def vectorize_tiles(pages_with_tiles: DataFrame, threshold: int = 1,

@@ -98,24 +98,42 @@ def pip_join(pages: DataFrame, boundaries: DataFrame,
         tiling.pack_cell_col(F.floor(F.col("lon_md") / cell_md),
                              F.floor(F.col("lat_md") / cell_md)),
     ).join(F.broadcast(cover), "cell", "inner" if how == "inner" else "left")
-    refined = cands.join(F.broadcast(boundaries),
-                         ["polygon_id"], "left") \
-        .where(
-            (F.col("polygon_id").isNull()) |
-            ((F.col("lon_md") >= F.col("lon_lo_md")) &
-             (F.col("lon_md") < F.col("lon_hi_md")) &
-             (F.col("lat_md") >= F.col("lat_lo_md")) &
-             (F.col("lat_md") < F.col("lat_hi_md"))))
     if how == "inner":
-        return refined.where(F.col("polygon_id").isNotNull())
-    # left: a page may match some covers but fail refinement everywhere —
-    # re-derive the null row per page
-    matched = refined.where(F.col("polygon_id").isNotNull())
-    lost = pages.join(matched.select("doc_id").distinct(), "doc_id",
-                      "left_anti").withColumn("polygon_id",
-                                              F.lit(None).cast("bigint"))
-    keep = [c for c in pages.columns] + ["polygon_id"]
-    return matched.select(*keep).unionByName(lost.select(*keep))
+        return (cands.join(F.broadcast(boundaries), ["polygon_id"], "inner")
+                .where((F.col("lon_md") >= F.col("lon_lo_md")) &
+                       (F.col("lon_md") < F.col("lon_hi_md")) &
+                       (F.col("lat_md") >= F.col("lat_lo_md")) &
+                       (F.col("lat_md") < F.col("lat_hi_md"))))
+    # left: SINGLE scan, single pass. Each page survives the left cover
+    # join with >= 1 candidate row; refinement marks hits. ONE aggregation
+    # per page collects the matched polygon ids (collect_list skips the
+    # null non-hits; map-side combine collapses the handful of colocated
+    # candidate rows per page before the shuffle) and an explode re-emits
+    # one row per match — or exactly one NULL row when the list is empty.
+    # The round-1 shape unioned a second full scan of `pages` behind an
+    # anti-join; a fork-above-the-scan variant still plans two scans
+    # because no exchange exists below the fork to reuse.
+    refined = cands.join(F.broadcast(boundaries), ["polygon_id"], "left") \
+        .withColumn(
+            "hit",
+            F.col("polygon_id").isNotNull() &
+            (F.col("lon_md") >= F.col("lon_lo_md")) &
+            (F.col("lon_md") < F.col("lon_hi_md")) &
+            (F.col("lat_md") >= F.col("lat_lo_md")) &
+            (F.col("lat_md") < F.col("lat_hi_md")))
+    others = [c for c in pages.columns if c != "doc_id"]
+    page_struct = F.struct(*[F.col(c) for c in others])
+    agg = refined.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("hit"), F.col("polygon_id"))))
+        .alias("_polys"),
+        F.any_value(page_struct).alias("_page"))
+    polys_or_null = F.when(F.size("_polys") > 0, F.col("_polys")) \
+        .otherwise(F.array(F.lit(None).cast("bigint")))
+    return agg.select(
+        "doc_id",
+        *[F.col(f"_page.{c}").alias(c) for c in others],
+        F.explode(polys_or_null).alias("polygon_id"))
 
 
 def knn_per_query(pages: DataFrame, query_points: list[tuple[int, int, int]],

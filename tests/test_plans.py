@@ -60,6 +60,48 @@ def test_knn_prefilters_before_window(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_top_tokens_uses_take_ordered(spark, sf_dir):
+    """The corpus top-k must compile to TakeOrderedAndProject (per-
+    partition heaps + driver merge), never a partition-less Window that
+    sorts every distinct token on one reducer."""
+    from optimizerasters_spark.contract import q_top_tokens
+    plan = _plan(q_top_tokens(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_proxy_csv_no_global_window_over_manifest(spark, sf_dir):
+    """Dense id assignment must not globally sort the manifest: the only
+    partition-less Window allowed is over the per-partition counts table
+    (child = an Aggregate, O(#partitions) rows), and the range Exchange
+    feeding both branches must be computed once (ReusedExchange)."""
+    from optimizerasters_spark.contract import q_proxy_csv
+    df = q_proxy_csv(spark, sf_dir)
+    df.collect()  # let AQE finalize so reuse shows in the executed plan
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed or "tableCacheQueryStage" \
+        in executed, executed
+    # the partition-less window's input subtree is the tiny _pid count
+    # aggregate (O(#partitions) rows), never the manifest relation: an
+    # Aggregate must sit between the Window and any parquet scan
+    plan = _plan(df)
+    win_idx = plan.find("Window")
+    assert win_idx != -1
+    scan_idx = plan.find("Scan parquet", win_idx)
+    segment = plan[win_idx:scan_idx] if scan_idx != -1 else plan[win_idx:]
+    assert "HashAggregate" in segment, plan
+
+
+def test_pip_left_join_single_scan(spark, sf_dir):
+    """how='left' must scan the pages relation ONCE (the round-1 shape
+    re-scanned it for the lost-rows anti-join)."""
+    p = synth_pages(spark, sf_dir)
+    j = spatial.pip_join(p, synth_boundaries(spark), how="left")
+    # simple mode prints each node once (formatted lists tree + details)
+    plan = j._sc._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Bucketing both sides on the join key pre-co-locates them: the
     sort-merge join needs NO Exchange on either side — the recipe for
