@@ -1209,3 +1209,253 @@ SELECT CAST(rn + 1000 AS BIGINT) AS object_id,
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY tile_id) AS rn FROM man)
 """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch 11 (round 2): oracles for the formerly rows-only queries.
+#
+# The fake media decoder and frame slicer are deterministic byte
+# arithmetic, and the SimHash bucket is sign-of-dot-product over literal
+# planes — all SQL-expressible. The driver-synthesized `text` is pure
+# ASCII (asserted in tests/test_skew_multimodal.py), so byte k of the
+# UTF-8 media buffer equals ord(substr(text, k, 1)) and byte slices are
+# substrings — DuckDB needs no BLOB byte accessor.
+# ---------------------------------------------------------------------------
+
+ORACLES.update({
+    "media_decode": f"""
+{_W}
+SELECT doc_id,
+  CAST(16 + (ord(substr(text, 1, 1)) % 64) * 8 AS INT) AS width,
+  CAST(16 + (ord(substr(text, length(text), 1)) % 64) * 8 AS INT) AS height,
+  CAST(CASE WHEN length(text) % 2 = 1 THEN 3 ELSE 1 END AS INT) AS channels,
+  CAST((list_sum(list_transform(
+          generate_series(1, least(length(text), 64)),
+          k -> ord(substr(text, CAST(k AS INT), 1)))) * 1000000)
+       // (least(length(text), 64) * 255) AS BIGINT) AS mean_luma_micro,
+  TRUE AS decode_ok
+FROM pages
+""",
+    "frame_sample": f"""
+{_W},
+f AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      generate_series(0, least(4, greatest(length(text) // 10, 1)) - 1),
+      i -> {{'frame_idx': CAST(i AS INT),
+             'frame_sha': sha256(substr(text, CAST(i * 10 + 1 AS INT), 10))}}))
+      AS fr
+  FROM pages)
+SELECT doc_id, fr.frame_idx AS frame_idx, fr.frame_sha AS frame_sha FROM f
+""",
+    "simhash_ann": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl AS (
+  SELECT i, list_transform(
+           generate_series(0, 63),
+           j -> (CAST((i * 2654435761 + j * 40503) % 1000 AS DOUBLE) - 500)
+                / 500.0) AS p
+  FROM generate_series(0, 5) t(i)),
+b AS (
+  SELECT e.vec_id, e.v,
+    CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                                k -> e.v[k] * pl.p[k])) >= 0
+             THEN 1 << i ELSE 0 END) AS INT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id, e.v),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+sim AS (
+  SELECT q.query_id, b.vec_id,
+    list_sum(list_transform(generate_series(1, 64),
+                            k -> b.v[k] * q.qv[k])) /
+    (sqrt(list_sum(list_transform(b.v, x -> x * x))) *
+     sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_sim
+  FROM b JOIN q USING (bucket))
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INT) AS sim_rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM sim)
+WHERE rn <= 5
+""",
+})
+
+
+# ---------------------------------------------------------------------------
+# Batch 12 (round 2): salted join, F4 depth, F6 extension rewrites,
+# X3 url-encode, proxy cache paths
+# ---------------------------------------------------------------------------
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact-to-dim equi-join through skew.salted_join: pages
+    (hot urban tiles) join their per-tile totals on a salted key. Result
+    must equal the plain join — the salt only spreads the hot keys."""
+    from optimizerasters_spark.operators import skew
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    pk = p.select(
+        "doc_id", "url",
+        (F.col("tile_x").cast("bigint") * 100000 +
+         F.col("tile_y")).alias("tile_key"))
+    dim = pk.groupBy("tile_key").agg(F.count(F.lit(1)).alias("tile_total"))
+    out = skew.salted_join(pk, dim, "tile_key", nsalt=8)
+    return out.select("doc_id", "tile_key",
+                      F.col("tile_total").cast("bigint").alias("tile_total"))
+
+
+def q_dir_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: subdirectory-depth predicate (IncludeSubdirectories walk
+    depth) as a pushable WHERE over a computed depth column."""
+    f = synth_files(spark, sf_dir)
+    deep = f.withColumn(
+        "deep_path",
+        F.concat(F.lit("root/"),
+                 F.repeat(F.lit("sub/"), (F.col("doc_id") % 3).cast("int")),
+                 F.col("path")))
+    out = filters.with_depth(deep, "deep_path")
+    return out.where(F.col("depth") <= 3) \
+        .select("doc_id", "deep_path", "depth")
+
+
+def q_url_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: per-segment URL encoding with ':'-segment passthrough."""
+    f = synth_files(spark, sf_dir)
+    seg = (F.when(F.col("doc_id") % 5 == 0, F.lit("a b"))
+            .when(F.col("doc_id") % 5 == 1, F.lit("c:d"))
+            .when(F.col("doc_id") % 5 == 2, F.lit("x&y"))
+            .when(F.col("doc_id") % 5 == 3, F.lit("100%"))
+            .otherwise(F.lit("m+n")))
+    raw = F.concat(F.lit("out\\"), seg, F.lit("\\"), F.col("path"))
+    return f.select(
+        "doc_id",
+        filters.url_encode_segments(raw).alias("enc_path"))
+
+
+def q_output_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 both forms: data-file extension rewrite for mode tif_cog and
+    meta-file first-extension -> mrf rename."""
+    f = synth_files(spark, sf_dir)
+    meta_in = F.concat(
+        F.col("path"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".aux.xml"))
+         .otherwise(F.lit("")))
+    return f.select(
+        "doc_id",
+        filters.rewrite_output_extension(F.col("path"), "tif_cog")
+            .alias("out_path"),
+        filters.rename_meta_to_mrf(meta_in, RASTER_PATTERNS)
+            .alias("meta_path"))
+
+
+def q_proxy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-proxy cache/data/index path columns (LERC split)."""
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    counts = spatial.tile_counts_at_levels(p, MANIFEST_LEVELS)
+    m = manifest.tile_manifest(counts)
+    out = manifest.with_cache_paths(m, "cache", compression="lerc")
+    return out.select("tile_id", "cache_path", "data_file", "index_file")
+
+
+QUERIES.update({
+    "salted_join": q_salted_join,
+    "dir_depth": q_dir_depth,
+    "url_encode": q_url_encode,
+    "output_ext": q_output_ext,
+    "proxy_paths": q_proxy_paths,
+})
+
+_MAN_CTE = f"""
+t0 AS (SELECT {_TILE_SQL} FROM pages),
+counts AS (
+  SELECT CAST(l.lv AS INT) AS level,
+         CAST(t.tile_x >> l.lv AS INT) AS tile_x,
+         CAST(t.tile_y >> l.lv AS INT) AS tile_y,
+         CAST(COUNT(*) AS BIGINT) AS page_count
+  FROM t0 t CROSS JOIN (VALUES (0),(4),(8)) l(lv)
+  GROUP BY 1, 2, 3),
+man AS (
+  SELECT 'L' || CAST(level AS VARCHAR) || '/' || CAST(tile_x AS VARCHAR)
+           || '/' || CAST(tile_y AS VARCHAR) AS tile_id
+  FROM counts)
+"""
+
+ORACLES.update({
+    "salted_join": f"""
+{_W},
+t AS (SELECT doc_id, {_TILE_SQL} FROM pages),
+k AS (SELECT doc_id, CAST(tile_x AS BIGINT) * 100000 + tile_y AS tile_key
+      FROM t),
+dim AS (SELECT tile_key, CAST(COUNT(*) AS BIGINT) AS tile_total
+        FROM k GROUP BY 1)
+SELECT k.doc_id, k.tile_key, dim.tile_total
+FROM k JOIN dim USING (tile_key)
+""",
+    "dir_depth": f"""
+WITH {FILES_CTE.strip()},
+d AS (
+  SELECT doc_id,
+    'root/' || repeat('sub/', CAST(doc_id % 3 AS INT)) || path AS deep_path
+  FROM files)
+SELECT doc_id, deep_path,
+       CAST(len(string_split(deep_path, '/')) - 1 AS INT) AS depth
+FROM d
+WHERE len(string_split(deep_path, '/')) - 1 <= 3
+""",
+    "url_encode": f"""
+WITH {FILES_CTE.strip()},
+r AS (
+  SELECT doc_id,
+    'out\\' || (CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 'a b' WHEN 1 THEN 'c:d' WHEN 2 THEN 'x&y'
+                WHEN 3 THEN '100%' ELSE 'm+n' END)
+     || '\\' || path AS raw
+  FROM files)
+SELECT doc_id,
+  array_to_string(
+    list_transform(
+      string_split(replace(raw, '\\', '/'), '/'),
+      s -> CASE WHEN position(':' IN s) > 0 THEN s
+           ELSE replace(replace(replace(replace(s,
+                '%', '%25'), '&', '%26'), '+', '%2B'), ' ', '+') END),
+    '/') AS enc_path
+FROM r
+""",
+    "output_ext": f"""
+WITH {FILES_CTE.strip()},
+b AS (
+  SELECT doc_id, path,
+    path || (CASE WHEN doc_id % 4 = 0 THEN '.aux.xml' ELSE '' END) AS meta_in,
+    regexp_extract(string_split(path, '/')[-1], '\\.([^.]*)$', 1) AS ext
+  FROM files),
+m AS (
+  SELECT doc_id, path, ext, meta_in,
+    string_split(meta_in, '/')[-1] AS mbase
+  FROM b),
+m2 AS (
+  SELECT doc_id, path, ext, meta_in,
+    CASE WHEN position('.' IN mbase) > 0
+         THEN substr(mbase, position('.' IN mbase) + 1) ELSE '' END
+      AS after_first
+  FROM m)
+SELECT doc_id,
+  CASE WHEN ext = '' THEN path
+       WHEN lower(ext) = 'tif' THEN path
+       ELSE substr(path, 1, length(path) - length(ext)) || 'tif' END
+    AS out_path,
+  CASE WHEN position('.' IN after_first) > 0
+        AND (ends_with(string_split(after_first, '.')[1], 'tif')
+             OR ends_with(string_split(after_first, '.')[1], 'mrf')
+             OR ends_with(string_split(after_first, '.')[1], 'til'))
+       THEN replace(meta_in,
+                    '.' || string_split(after_first, '.')[1], '.mrf')
+       ELSE meta_in END AS meta_path
+FROM m2
+""",
+    "proxy_paths": f"""
+{_W},
+{_MAN_CTE.strip()}
+SELECT tile_id,
+  'cache/' || tile_id || '.mrf_cache' AS cache_path,
+  'cache/' || tile_id || '.lrc' AS data_file,
+  'cache/' || tile_id || '.idx' AS index_file
+FROM man
+""",
+})

@@ -106,6 +106,76 @@ def with_hashkey_path(df: DataFrame, path_col: str = "path",
     return df.withColumn("hashed_path", out)
 
 
+def with_depth(files: DataFrame, path_col: str = "path",
+               base_depth: int = 0) -> DataFrame:
+    """F4: subdirectory depth of each path (number of directory segments
+    below the base). Pure projection — the depth predicate folds into the
+    scan (the reference walked only ``IncludeSubdirectories`` levels;
+    here it is a pushable WHERE)."""
+    depth = F.size(F.split(F.col(path_col), "/")) - 1 - base_depth
+    return files.withColumn("depth", depth.cast("int"))
+
+
+def url_encode_segments(path: Column) -> Column:
+    """X3 (Base.urlEncode, OptimizeRasters.py:1065-1077): backslashes
+    normalized, each '/'-segment URL-encoded (application/x-www-form-
+    urlencoded, space -> '+'), except segments containing ':' which pass
+    through verbatim (drive letters / scheme prefixes). All JVM-side:
+    transform() over the split array with the built-in url_encode."""
+    norm = F.regexp_replace(path, "\\\\", "/")
+    return F.concat_ws(
+        "/",
+        F.transform(
+            F.split(norm, "/"),
+            lambda s: F.when(s.contains(":"), s).otherwise(F.url_encode(s))))
+
+
+def rewrite_output_extension(path: Column, mode: str,
+                             keep_extension: bool = False) -> Column:
+    """F6 data-file form (OptimizeRasters.py:1114-1129): unless
+    KeepExtension, the output extension becomes the mode's first token
+    (``tif_cog`` -> ``tif``); if that equals the current extension
+    case-insensitively, the INPUT case is kept (so ledger status lookups
+    keyed by path still match). Paths without an extension pass through
+    (the reference's str.replace('') corner is undefined behavior there).
+    """
+    if keep_extension:
+        return path
+    mode_ext = mode.split("_")[0]
+    base = F.substring_index(path, "/", -1)
+    ext = F.regexp_extract(base, "\\.([^.]*)$", 1)
+    stem_len = F.length(path) - F.length(ext)
+    rewritten = F.concat(path.substr(F.lit(1), stem_len), F.lit(mode_ext))
+    return (F.when(ext == "", path)
+             .when(F.lower(ext) == mode_ext.lower(), path)
+             .otherwise(rewritten))
+
+
+def rename_meta_to_mrf(path: Column,
+                       raster_patterns: list[str]) -> Column:
+    """F6 meta-file form (renameMetaFileToMatchRasterExtension,
+    OptimizeRasters.py:1114-1129): for multi-extension meta files whose
+    FIRST extension token ends with a raster extension
+    (``f.tif.aux.xml``), that token is rewritten to ``mrf``
+    (``f.mrf.aux.xml``) so the proxy sidecars match the converted raster.
+    Single-extension paths are unchanged."""
+    base = F.substring_index(path, "/", -1)
+    has_dot = F.instr(base, ".") > 0
+    after_first = base.substr(F.instr(base, ".") + 1, F.length(base))
+    first_seg = F.substring_index(after_first, ".", 1)
+    multi = F.instr(after_first, ".") > 0
+    is_raster_first = None
+    for p in raster_patterns:
+        cond = first_seg.endswith(p)
+        is_raster_first = cond if is_raster_first is None \
+            else (is_raster_first | cond)
+    do = has_dot & multi & is_raster_first
+    return F.when(
+        do,
+        F.replace(path, F.concat(F.lit("."), first_seg), F.lit(".mrf"))
+    ).otherwise(path)
+
+
 def sniff_dispatch(df: DataFrame, payload_col: str = "html") -> DataFrame:
     """F8: dispatch on the first payload bytes (no full-content read —
     column pruning gives the cheap classify the reference got from ranged

@@ -38,6 +38,30 @@ def tile_manifest(tile_counts: DataFrame, output_prefix: str = "tiles",
                            "source_uri")))
 
 
+def with_cache_paths(manifest: DataFrame, cache_prefix: str = "cache",
+                     compression: str | None = None) -> DataFrame:
+    """Raster-proxy cache-path rewrite (UpdateMRF.update,
+    OptimizeRasters.py:1558-1734): every proxy points DataFile/IndexFile
+    at a cache location ``<cache_prefix>/<tile dir>/<stem>.mrf_cache``.
+    For LERC payloads the data/index split into ``.lrc`` / ``.idx``
+    (extensions_lup :1685-1688); otherwise both columns equal the cache
+    path. Pure projection — folds into whatever stage emits the
+    manifest."""
+    cache = F.concat(F.lit(cache_prefix + "/"), F.col("tile_id"),
+                     F.lit(".mrf_cache"))
+    if compression == "lerc":
+        data_file = F.concat(F.lit(cache_prefix + "/"), F.col("tile_id"),
+                             F.lit(".lrc"))
+        index_file = F.concat(F.lit(cache_prefix + "/"), F.col("tile_id"),
+                              F.lit(".idx"))
+    else:
+        data_file = index_file = cache
+    return (manifest
+            .withColumn("cache_path", cache)
+            .withColumn("data_file", data_file)
+            .withColumn("index_file", index_file))
+
+
 def proxy_csv_rows(manifest: DataFrame, id_offset: int = 0,
                    num_partitions: int | None = None) -> DataFrame:
     """S13: the ``ObjectID;Raster`` flattened form, one row per tile.

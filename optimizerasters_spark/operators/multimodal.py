@@ -27,21 +27,24 @@ IMAGE_META_SCHEMA = ("doc_id BIGINT, media BINARY, media_type STRING, "
                      "declared_w INT, declared_h INT")
 
 DECODE_OUT_SCHEMA = ("doc_id BIGINT, width INT, height INT, channels INT, "
-                     "mean_luma DOUBLE, decode_ok BOOLEAN")
+                     "mean_luma_micro BIGINT, decode_ok BOOLEAN")
 
 FRAME_OUT_SCHEMA = ("doc_id BIGINT, frame_idx INT, frame_sha STRING")
 
 
-def _fake_decode(buf: bytes) -> tuple[int, int, int, float]:
+def _fake_decode(buf: bytes) -> tuple[int, int, int, int]:
     """Deterministic stand-in for an image decoder: derives shape/stats
-    from the bytes themselves. Replace with PIL/turbojpeg in production."""
+    from the bytes themselves. Replace with PIL/turbojpeg in production.
+    The luma statistic is integer micro-units (floor), not a float —
+    exact across engines, so the whole decode stage is oracle-checkable
+    in SQL over the same BINARY column."""
     if not buf:
         raise ValueError("empty media buffer")
     w = 16 + (buf[0] % 64) * 8
     h = 16 + (buf[-1] % 64) * 8
     c = 3 if len(buf) % 2 else 1
-    luma = (sum(buf[:64]) / min(len(buf), 64)) / 255.0
-    return w, h, c, luma
+    luma_micro = (sum(buf[:64]) * 1000000) // (min(len(buf), 64) * 255)
+    return w, h, c, luma_micro
 
 
 def decode_images(media: DataFrame,
@@ -54,7 +57,7 @@ def decode_images(media: DataFrame,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
-                   "channels": [], "mean_luma": [], "decode_ok": []}
+                   "channels": [], "mean_luma_micro": [], "decode_ok": []}
             for buf in pdf[batch_col]:
                 try:
                     w, h, c, luma = decoder(bytes(buf)
@@ -62,13 +65,13 @@ def decode_images(media: DataFrame,
                     out["width"].append(w)
                     out["height"].append(h)
                     out["channels"].append(c)
-                    out["mean_luma"].append(luma)
+                    out["mean_luma_micro"].append(luma)
                     out["decode_ok"].append(True)
                 except Exception:
                     out["width"].append(0)
                     out["height"].append(0)
                     out["channels"].append(0)
-                    out["mean_luma"].append(0.0)
+                    out["mean_luma_micro"].append(0)
                     out["decode_ok"].append(False)
             yield pd.DataFrame(out)
 

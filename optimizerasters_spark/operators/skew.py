@@ -49,12 +49,26 @@ def salted_collect_per_cell(pages: DataFrame, cell_cols: list[str],
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str,
-                nsalt: int = 16) -> DataFrame:
+                nsalt: int = 16,
+                salt_cols: list[str] | None = None) -> DataFrame:
     """Skew-proof equi-join: salt the big side, explode the small side
     across all salt values, join on (key, salt). Use when the small side
     is too large to broadcast and the key distribution is known-skewed;
-    otherwise prefer broadcast or AQE skew-join."""
-    b = with_salt(big, key, nsalt)
+    otherwise prefer broadcast or AQE skew-join.
+
+    The salt MUST vary WITHIN a join key (a hot key's rows must spread
+    across buckets), so it is derived from the big side's other columns
+    (default: every non-key column) — hashing the join key itself would
+    put each key's rows in one bucket and provide zero skew relief. The
+    salt never changes the result: the small side is replicated across
+    all nsalt values, so (key, salt) matches exactly where key matches."""
+    salt_cols = salt_cols or [c for c in big.columns if c != key]
+    if not salt_cols:  # degenerate: key-only relation; any spread works
+        salt_cols = [key]
+    b = big.withColumn(
+        "salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
+               F.lit(nsalt)).cast("int"))
     s = small.withColumn(
         "salt",
         F.explode(F.array(*[F.lit(i).cast("int") for i in range(nsalt)])))
