@@ -1459,3 +1459,34 @@ SELECT tile_id,
 FROM man
 """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch 13 (round 2): TIL finalize — barrier-gated group overviews
+# ---------------------------------------------------------------------------
+
+def q_til_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 stage 2: overview rows ONLY for groups whose every member is
+    processed (engine.py wires the resume/append semantics; this is the
+    operator's oracle gate)."""
+    led = synth_ledger(spark, sf_dir)
+    f = synth_files(spark, sf_dir)
+    mem = led.join(f.select("doc_id", "size"), "doc_id").select(
+        (F.col("doc_id") % 40).cast("bigint").alias("group_id"),
+        "processed", "size")
+    return groups.til_finalize(mem, "group_id", "processed", "size")
+
+
+QUERIES.update({"til_finalize": q_til_finalize})
+ORACLES.update({
+    "til_finalize": f"""
+WITH {FILES_CTE.strip()}, {LEDGER_CTE.strip()},
+mem AS (
+  SELECT CAST(l.doc_id % 40 AS BIGINT) AS group_id, l.processed, f.size
+  FROM ledger l JOIN files f USING (doc_id))
+SELECT group_id, CAST(COUNT(*) AS BIGINT) AS member_count,
+       CAST(SUM(size) AS BIGINT) AS total_payload
+FROM mem GROUP BY 1
+HAVING COUNT(*) = SUM(CASE WHEN processed = 'yes' THEN 1 ELSE 0 END)
+""",
+})

@@ -27,8 +27,19 @@ from pyspark.sql import functions as F
 
 from optimizerasters_spark import ledger as L
 from optimizerasters_spark import lineage
-from optimizerasters_spark.operators import dedup, manifest, spatial
+from optimizerasters_spark.operators import dedup, groups, manifest, spatial
 from optimizerasters_spark.pages import synth_boundaries, synth_pages
+
+# TIL-group analog: pages sharing a group id finalize together (group
+# overview gated on every member processed). The synth url embeds the
+# page number; the group key is derived from it so it survives resume
+# across runs keyed only by url.
+TIL_GROUPS = 25
+
+
+def til_group_col():
+    return (F.regexp_extract(F.col("url"), "/p/(\\d+)$", 1)
+            .cast("bigint") % TIL_GROUPS).alias("til_group")
 
 
 @dataclass
@@ -66,9 +77,18 @@ class Engine:
     def _manifest_out(self) -> str:
         return os.path.join(self.conf.workdir, "manifest")
 
+    def _til_out(self) -> str:
+        return os.path.join(self.conf.workdir, "til_overviews")
+
     # -- lifecycle ---------------------------------------------------------
     def run(self, spark: SparkSession,
-            pages: DataFrame | None = None) -> dict[str, DataFrame]:
+            pages: DataFrame | None = None,
+            til_members: DataFrame | None = None) -> dict[str, DataFrame]:
+        """``til_members`` (url, til_group) is the DECLARED group
+        membership — the .til content analog. Completeness is judged
+        against it, so members absent from this run's input keep their
+        group un-finalized until a later run processes them. Defaults to
+        deriving membership from the current input."""
         conf = self.conf
         os.makedirs(conf.workdir, exist_ok=True)
         L.vacuum(conf.workdir)  # drop snapshots no plan can reference now
@@ -91,9 +111,11 @@ class Engine:
             self._process_batch(spark, ok, f"batch={self.run_id}")
             if failed is not None:
                 # quarantine: mark 'no' (A6); dedup-append like
-                # _addToFailedList, then ONE retry pass at the end
-                L.merge_status(spark, conf.workdir, failed.select("url"),
-                               "processed", L.NO, self.run_id)
+                # _addToFailedList, then ONE retry pass at the end.
+                # upsert (not merge): a failed page that entered the
+                # input after init must still be recorded
+                L.upsert_status(spark, conf.workdir, failed.select("url"),
+                                "processed", L.NO, self.run_id)
 
         # ---- retry pass: reprocess quarantined rows once ----------------
         led_now = L.read_ledger(spark, conf.workdir)
@@ -119,16 +141,57 @@ class Engine:
             m = manifest.tile_manifest(spark.read.parquet(self._tiles_out()),
                                        conf.output_prefix)
             m.write.mode("overwrite").parquet(self._manifest_out())
-            L.merge_status(spark, conf.workdir, per_page.select("url"),
-                           "uploaded", L.YES, self.run_id)
+            L.upsert_status(spark, conf.workdir, per_page.select("url"),
+                            "uploaded", L.YES, self.run_id)
 
-        return {
+        # ---- stage "til_finalize": gated group-level overviews ----------
+        # A complete group (every member's ledger row 'yes') gets ONE
+        # overview row appended; incomplete groups are held back and
+        # finalize on a later run — the reference's per-.til barrier +
+        # createaOverview/ovr->mrf post-processing (:6767-6821). Resume
+        # skips groups already in the output (anti-join = the
+        # _doPostProcessing ledger check).
+        led_fin = L.read_ledger(spark, conf.workdir)
+        declared = til_members if til_members is not None \
+            else pages.select("url", til_group_col())
+        members = declared.join(
+            led_fin.select("url", "processed"), "url", "left") \
+            .fillna({"processed": ""})
+        with lineage.StageTimer(spark, conf.workdir, self.run_id,
+                                "til_finalize", members):
+            complete = groups.til_complete_groups(
+                members, "til_group", "processed").select("til_group")
+            stats = (spark.read.parquet(self._pages_out())
+                     .dropDuplicates(["url"])
+                     .select("url", til_group_col(),
+                             "tile_x", "tile_y")
+                     .groupBy("til_group")
+                     .agg(F.count(F.lit(1)).alias("member_count"),
+                          F.countDistinct("tile_x", "tile_y")
+                           .alias("n_tiles")))
+            overview = stats.join(complete, "til_group", "left_semi")
+            try:
+                done = spark.read.parquet(self._til_out()) \
+                    .select("til_group").dropDuplicates(["til_group"])
+                fresh = overview.join(done, "til_group", "left_anti")
+            except Exception:  # first run — no output yet
+                fresh = overview
+            if fresh.limit(1).count() > 0:
+                fresh.withColumn("finalized_run", F.lit(self.run_id)) \
+                    .write.mode("append").parquet(self._til_out())
+
+        out = {
             "page_tiles": spark.read.parquet(self._pages_out())
                                .dropDuplicates(["url", "polygon_id"]),
             "tile_counts": spark.read.parquet(self._tiles_out()),
             "manifest": spark.read.parquet(self._manifest_out()),
             "ledger": L.read_ledger(spark, conf.workdir),
         }
+        try:
+            out["til_overviews"] = spark.read.parquet(self._til_out())
+        except Exception:
+            out["til_overviews"] = None
+        return out
 
     # -- internals -----------------------------------------------------------
     def _split_injected(self, todo: DataFrame):
@@ -152,9 +215,12 @@ class Engine:
             F.sha2(F.col("text"), 256).alias("text_sha"))
         batch_dir = os.path.join(self._pages_out(), batch_name)
         out.write.mode("overwrite").parquet(batch_dir)
-        L.merge_status(spark, self.conf.workdir,
-                       spark.read.parquet(batch_dir).select("url"),
-                       "processed", L.YES, self.run_id)
+        # upsert (not merge): pages that entered the input AFTER the
+        # ledger was initialized must be inserted, or they would
+        # reprocess on every resume with their status never recorded
+        L.upsert_status(spark, self.conf.workdir,
+                        spark.read.parquet(batch_dir).select("url"),
+                        "processed", L.YES, self.run_id)
 
     # -- embedding API ------------------------------------------------------
     def get_ledger(self, spark: SparkSession) -> DataFrame | None:

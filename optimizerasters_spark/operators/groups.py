@@ -64,6 +64,31 @@ def til_complete_groups(members: DataFrame,
             .where(F.col("member_count") == F.col("processed_count")))
 
 
+def til_finalize(members: DataFrame, group_col: str = "group_id",
+                 processed_col: str = "processed",
+                 payload_col: str = "size") -> DataFrame:
+    """A4 stage 2: group-level overview rows for COMPLETE groups only —
+    the gated post-processing the reference runs per finished .til
+    (createaOverview + ovr->mrf convert, OptimizeRasters.py:6767-6821).
+
+    Barrier + overview in ONE aggregation: member/processed counts and
+    the payload rollup partial-aggregate map-side, then the HAVING-style
+    filter keeps complete groups. Incomplete groups simply don't emit —
+    they finalize on a later run once their members process (engine.py
+    wires the resume semantics)."""
+    return (members.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("member_count"),
+                 F.sum(F.when(F.col(processed_col) == "yes", 1)
+                        .otherwise(0)).alias("processed_count"),
+                 F.sum(payload_col).alias("total_payload"))
+            .where(F.col("member_count") == F.col("processed_count"))
+            .select(group_col,
+                    F.col("member_count").cast("bigint")
+                     .alias("member_count"),
+                    F.col("total_payload").cast("bigint")
+                     .alias("total_payload")))
+
+
 def stem_groups(files: DataFrame, stem_col: str = "stem",
                 size_col: str = "size") -> DataFrame:
     """J3: per-stem artifact rollup (count + bytes) for grouped upload."""

@@ -118,6 +118,40 @@ def test_partial_preseed_resume(spark, sf_dir, workdir):
     assert total == n_total - n_done
 
 
+def test_til_finalize_holds_back_incomplete_groups(spark, sf_dir, tmp_path):
+    """SURVEY §2.3 TIL stage 2: a group whose members are only partially
+    processed must NOT finalize; a later run that processes the missing
+    members releases exactly that group, and already-finalized groups are
+    not re-appended (resume = anti-join on the overview output)."""
+    from optimizerasters_spark.engine import TIL_GROUPS, til_group_col
+    wd = str(tmp_path / "tiljob")
+    pages = synth_pages(spark, sf_dir)
+    declared = pages.select("url", til_group_col())
+    page_num = F.regexp_extract(F.col("url"), "/p/(\\d+)$", 1).cast("bigint")
+
+    # run 1: hold back half the members of group 7
+    held = (page_num % TIL_GROUPS == 7) & (page_num % 2 == 0)
+    eng1 = Engine(JobConf(sf_dir=sf_dir, workdir=wd))
+    res1 = eng1.run(spark, pages=pages.where(~held), til_members=declared)
+    ov1 = res1["til_overviews"]
+    assert ov1 is not None
+    got1 = {r["til_group"] for r in ov1.collect()}
+    assert 7 not in got1
+    assert got1 == set(range(TIL_GROUPS)) - {7}
+
+    # run 2: full input -> group 7 completes; others not duplicated
+    eng2 = Engine(JobConf(sf_dir=sf_dir, workdir=wd))
+    res2 = eng2.run(spark, pages=pages, til_members=declared)
+    ov2 = res2["til_overviews"]
+    rows = ov2.collect()
+    assert {r["til_group"] for r in rows} == set(range(TIL_GROUPS))
+    assert len(rows) == TIL_GROUPS  # one overview row per group, ever
+    seven = [r for r in rows if r["til_group"] == 7][0]
+    n7 = pages.where(page_num % TIL_GROUPS == 7).count()
+    assert seven["member_count"] == n7
+    assert seven["finalized_run"] == eng2.run_id
+
+
 def test_quarantine_and_retry_pass(spark, sf_dir, tmp_path):
     """A6: injected failures land in the ledger as 'no', the end-of-run
     retry pass recovers them, final state is complete and failure-free."""
