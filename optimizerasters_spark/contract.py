@@ -1477,7 +1477,39 @@ def q_til_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.til_finalize(mem, "group_id", "processed", "size")
 
 
-QUERIES.update({"til_finalize": q_til_finalize})
+def q_ledger_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read ledger resolution (ledger.resolve): base snapshot +
+    three delta commits -> latest-wins per (url, column); merge deltas on
+    keys absent from the base are no-ops unless some upsert introduced
+    the key. This is the read path behind every engine resume."""
+    from optimizerasters_spark import ledger as L
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = d.select("doc_id",
+                 F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+                  .alias("url"))
+    base = u.where(F.col("doc_id") % 4 != 3).select(
+        "url", F.lit("").alias("copied"), F.lit("").alias("processed"),
+        F.lit("").alias("uploaded"), F.lit("init").alias("updated_run"))
+
+    def delta(pred, col, value, run_id, seq, ins):
+        return u.where(pred).select(
+            "url", F.lit(col).alias("col"), F.lit(value).alias("value"),
+            F.lit(run_id).alias("run_id"),
+            F.lit(seq).cast("bigint").alias("seq"),
+            F.lit(ins).alias("is_upsert"))
+
+    deltas = delta(F.col("doc_id") % 2 == 0, "processed", "yes", "r1", 1,
+                   False) \
+        .unionByName(delta(F.col("doc_id") % 3 == 0, "copied", "yes",
+                           "r2", 2, True)) \
+        .unionByName(delta(F.col("doc_id") % 5 == 4, "uploaded", "no",
+                           "r3", 3, False))
+    return L.resolve(base, deltas) \
+        .select("url", "copied", "processed", "uploaded", "updated_run")
+
+
+QUERIES.update({"til_finalize": q_til_finalize,
+                "ledger_resolve": q_ledger_resolve})
 ORACLES.update({
     "til_finalize": f"""
 WITH {FILES_CTE.strip()}, {LEDGER_CTE.strip()},
@@ -1488,5 +1520,35 @@ SELECT group_id, CAST(COUNT(*) AS BIGINT) AS member_count,
        CAST(SUM(size) AS BIGINT) AS total_payload
 FROM mem GROUP BY 1
 HAVING COUNT(*) = SUM(CASE WHEN processed = 'yes' THEN 1 ELSE 0 END)
+""",
+    "ledger_resolve": """
+WITH u AS (SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+base AS (
+  SELECT url, '' AS copied, '' AS processed, '' AS uploaded,
+         'init' AS updated_run
+  FROM u WHERE doc_id % 4 <> 3),
+d AS (
+  SELECT url, 'processed' AS col, 'yes' AS value, 'r1' AS run_id,
+         1 AS seq, FALSE AS ins FROM u WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT url, 'copied', 'yes', 'r2', 2, TRUE FROM u WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT url, 'uploaded', 'no', 'r3', 3, FALSE FROM u WHERE doc_id % 5 = 4),
+agg AS (
+  SELECT url,
+    arg_max(value, CASE WHEN col = 'copied' THEN seq END) AS dc,
+    arg_max(value, CASE WHEN col = 'processed' THEN seq END) AS dp,
+    arg_max(value, CASE WHEN col = 'uploaded' THEN seq END) AS du,
+    arg_max(run_id, seq) AS dr,
+    MAX(CASE WHEN ins THEN 1 ELSE 0 END) AS anyins
+  FROM d GROUP BY 1)
+SELECT COALESCE(b.url, a.url) AS url,
+  COALESCE(a.dc, b.copied, '') AS copied,
+  COALESCE(a.dp, b.processed, '') AS processed,
+  COALESCE(a.du, b.uploaded, '') AS uploaded,
+  COALESCE(a.dr, b.updated_run) AS updated_run
+FROM base b FULL JOIN agg a ON b.url = a.url
+WHERE b.url IS NOT NULL OR a.anyins = 1
 """,
 })
