@@ -1508,8 +1508,36 @@ def q_ledger_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("url", "copied", "processed", "uploaded", "updated_run")
 
 
+ENC_MODES = ["mrf", "tif_jpeg", "tif_cog", "mrf_jpeg", "tif_lzw",
+             "mrf_dg", "tiff_landsat", "splitmrf"]
+
+
+def q_encoder_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: per-row codec struct across the mode matrix (mixed-codec tile
+    tables) — the column twin of encoder.resolve()."""
+    from optimizerasters_spark.operators import encoder
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    mode = F.element_at(F.array(*[F.lit(m) for m in ENC_MODES]),
+                        (i % 8 + 1).cast("int"))
+    comp = (F.when(i % 3 == 0, F.lit("lerc"))
+             .when(i % 3 == 1, F.lit("jpeg"))
+             .otherwise(F.lit("deflate")))
+    quality = F.when(i % 2 == 0, F.lit(75)).cast("int")
+    block = F.when(i % 5 == 0, F.lit(256)).cast("int")
+    e = encoder.encoder_struct_col(mode, comp, quality, block)
+    return d.select(
+        "doc_id",
+        e["out_format"].alias("out_format"),
+        e["compression"].alias("compression"),
+        e["quality"].alias("quality"),
+        e["block_size"].alias("block_size"),
+        e["options"].alias("options"))
+
+
 QUERIES.update({"til_finalize": q_til_finalize,
-                "ledger_resolve": q_ledger_resolve})
+                "ledger_resolve": q_ledger_resolve,
+                "encoder_matrix": q_encoder_matrix})
 ORACLES.update({
     "til_finalize": f"""
 WITH {FILES_CTE.strip()}, {LEDGER_CTE.strip()},
@@ -1550,5 +1578,39 @@ SELECT COALESCE(b.url, a.url) AS url,
   COALESCE(a.dr, b.updated_run) AS updated_run
 FROM base b FULL JOIN agg a ON b.url = a.url
 WHERE b.url IS NOT NULL OR a.anyins = 1
+""",
+    "encoder_matrix": """
+WITH x AS (
+  SELECT doc_id,
+    (['mrf','tif_jpeg','tif_cog','mrf_jpeg','tif_lzw','mrf_dg',
+      'tiff_landsat','splitmrf'])[CAST(doc_id % 8 AS INT) + 1] AS mode,
+    CASE WHEN doc_id % 3 = 0 THEN 'lerc'
+         WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'deflate' END AS comp,
+    CASE WHEN doc_id % 2 = 0 THEN 75 END AS quality,
+    CASE WHEN doc_id % 5 = 0 THEN 256 END AS block_size
+  FROM documents),
+s AS (
+  SELECT doc_id, quality, block_size,
+    string_split(mode, '_')[1] AS base,
+    CASE WHEN len(string_split(mode, '_')) > 1
+         THEN string_split(mode, '_')[2] END AS second,
+    comp
+  FROM x),
+c AS (
+  SELECT doc_id, quality, block_size, base, second,
+    CASE WHEN second IN ('jpeg','jpeg12','lzw','deflate','lerc','lerc2',
+                         'png') THEN second
+         WHEN second IN ('dg','landsat') THEN 'lerc'
+         ELSE lower(comp) END AS comp0
+  FROM s)
+SELECT doc_id,
+  CASE WHEN second = 'cog' THEN 'COG'
+       WHEN base LIKE 'tif%' THEN 'GTiff' ELSE 'MRF' END AS out_format,
+  CASE WHEN comp0 LIKE 'jpeg%' THEN 'jpeg' ELSE comp0 END AS compression,
+  CAST(COALESCE(quality, 85) AS INT) AS quality,
+  CAST(COALESCE(block_size, 512) AS INT) AS block_size,
+  CASE WHEN (CASE WHEN comp0 LIKE 'jpeg%' THEN 'jpeg' ELSE comp0 END)
+            = 'lerc' THEN 'V2=ON' ELSE '' END AS options
+FROM c
 """,
 })

@@ -35,9 +35,30 @@ DEF_JPEG_QUALITY = 85  # DefJpegQuality, OptimizeRasters.py:97
 DEF_BLOCK = 512
 
 
+# Proxy-only modes: no GDAL conversion; pyramids off; raster proxies are
+# the output (createaOverview early-return :5069-5072; is_caching
+# :6407-6413).
+PROXY_MODES = frozenset(("cachingmrf", "clonemrf", "rasterproxy",
+                         "splitmrf"))
+# Maker modes: dedicated builders, not the generic translate matrix
+# (BundleMaker.CMODE :5193, IIQMaker.CMODE :7348, '.aid' job inputs).
+MAKER_MODES = frozenset(("bundle", "iiq", "aid"))
+# Product profiles selected by the mode's second token: the reference
+# ships template configs pinning these (DG_SatelliteProduct_to_MRF_LERC,
+# Landsat_to_MRF_LERC; Landsat8_RasterProxy.xml pins Scale=3).
+PRODUCT_PROFILES = {
+    "dg": {"compression": "lerc"},
+    "landsat": {"compression": "lerc", "meta_scale": 3},
+    "mix": {},  # per-row codecs — encoder_struct_col carries them
+}
+COMPRESSION_TOKENS = frozenset(("jpeg", "jpeg12", "lzw", "deflate",
+                                "lerc", "lerc2", "png"))
+
+
 @dataclass
 class EncoderParams:
     """Driver-side resolved parameters (one job-wide default row)."""
+    mode: str = "mrf"                # validated full mode string
     out_format: str = "MRF"          # GTiff | MRF | COG
     compression: str = "lerc"
     quality: int = DEF_JPEG_QUALITY
@@ -52,9 +73,17 @@ class EncoderParams:
     options: str = ""
     scale: int = 2                   # UNIFORM_SCALE (meta variant)
     nocopy: bool = False
+    pyramids: bool = True            # proxy modes skip overview builds
+    clone_source: bool = False       # UpdateMRF sets clone='true' (:1643)
+    maker: str | None = None         # bundle | iiq | aid
+    data_ext: str | None = None      # splitmrf+lerc: .lrc/.idx split
+    index_ext: str | None = None
 
     def creation_options(self) -> dict[str, str]:
-        """The -co key/value surface (for parity inspection/tests)."""
+        """The -co key/value surface (for parity inspection/tests).
+        Gating mirrors args_Callback (OptimizeRasters.py:3875-3999):
+        predictor only under PIXEL interleave; jpeg quality key is
+        QUALITY for MRF and COG, JPEG_QUALITY for GTiff (:3975-3981)."""
         co: dict[str, str] = {}
         comp = "lerc" if self.compression == "lerc2" else self.compression
         co["COMPRESS"] = comp
@@ -63,13 +92,14 @@ class EncoderParams:
         if self.tiled:
             co["TILED"] = "YES"
         if comp == "jpeg":
-            co["QUALITY" if self.out_format == "MRF" else "JPEG_QUALITY"] = \
-                str(self.quality)
+            key = "JPEG_QUALITY" if self.out_format == "GTiff" else "QUALITY"
+            co[key] = str(self.quality)
             if self.nbits12:
                 co["NBITS"] = "12"
             if self.ycbcr:
                 co["PHOTOMETRIC"] = "YCBCR"
-        if self.compression in ("deflate", "lzw"):
+        if self.compression in ("deflate", "lzw") and \
+                self.interleave == "PIXEL":
             co["predictor"] = str(self.predictor)
         if self.options:
             co["OPTIONS"] = self.options
@@ -87,22 +117,43 @@ class EncoderParams:
 
 def resolve(conf: Config, n_bands: int = 3, meta: bool = False
             ) -> EncoderParams:
-    """Config -> EncoderParams, reproducing the reference's resolution
-    order: mode split, COG override to deflate, jpeg12/ycbcr rules,
-    lerc OPTIONS assembly."""
+    """Config -> EncoderParams across the full 19-mode whitelist
+    (OptimizeRasters.py:5533-5553), reproducing args_Callback's
+    resolution order:
+
+      * the separate ``cog`` CONFIG key (useCOGTIFF :3897) forces
+        deflate BEFORE the mode split; mode ``*_cog`` selects the COG
+        driver but keeps the configured compression (:3927-3931) —
+        ``tif_cog`` + Compression=jpeg emits QUALITY= under COG.
+      * second-token compressions (lzw/jpeg/...) override Compression;
+        product tokens (dg/landsat/mix) select template profiles
+        instead (MRF+LERC; Landsat proxies Scale=3).
+      * proxy modes never convert (pyramids off, NOCOPY proxies);
+        ``splitmrf`` + lerc splits DataFile/IndexFile into .lrc/.idx;
+        mrf-family sources are clone-marked (:1643-1647).
+      * maker modes (bundle/iiq/aid) dispatch to dedicated builders and
+        emit MRF."""
     p = EncoderParams()
-    mode = str(conf.get_value("Mode", "mrf")).lower()
+    full_mode = conf.validate_mode()
+    p.mode = full_mode
     comp = str(conf.get_value("Compression", "lerc")).lower()
+    if get_boolean_value(conf.get_value("cog", False)):
+        comp = "deflate"  # useCOGTIFF — the only deflate force (:3897-3900)
+    mode = full_mode
     is_cog = False
-    parts = mode.split("_")
+    meta_scale_default = 2
+    parts = full_mode.split("_")
     if len(parts) > 1:
         mode = parts[0]
-        if parts[1] == "cog":
+        token = parts[1]
+        if token == "cog":
             is_cog = True
-        else:
-            comp = parts[1]
-    if is_cog:
-        comp = "deflate"
+        elif token in PRODUCT_PROFILES:
+            prof = PRODUCT_PROFILES[token]
+            comp = prof.get("compression", comp)
+            meta_scale_default = prof.get("meta_scale", 2)
+        elif token in COMPRESSION_TOKENS:
+            comp = token
     q = conf.get_value("Quality")
     p.quality = int(q) if q else DEF_JPEG_QUALITY
     bs = conf.get_value("BlockSize")
@@ -111,7 +162,16 @@ def resolve(conf: Config, n_bands: int = 3, meta: bool = False
     p.interleave = str(conf.get_value("Interleave", "PIXEL")).upper()
     p.lerc_prec = conf.get_value("LERCPrecision")
 
-    if mode.startswith(("tif", "cog")):
+    if full_mode in PROXY_MODES:
+        p.out_format = "MRF"
+        p.pyramids = False           # createaOverview early-return
+        p.nocopy = True              # proxies reference, never copy
+        if full_mode == "splitmrf" and comp.startswith("lerc"):
+            p.data_ext, p.index_ext = ".lrc", ".idx"  # extensions_lup
+    elif full_mode in MAKER_MODES:
+        p.out_format = "MRF"
+        p.maker = full_mode
+    elif mode.startswith(("tif", "cog")):
         p.bigtiff = True
         if not is_cog:
             p.tiled = True
@@ -126,11 +186,12 @@ def resolve(conf: Config, n_bands: int = 3, meta: bool = False
             comp = "jpeg"
     else:
         p.out_format = "MRF"
+    p.clone_source = mode.startswith("mrf") or full_mode == "clonemrf"
     if meta:
         p.out_format = "MRF"
         p.nocopy = True
         sc = conf.get_value("Scale")
-        p.scale = int(sc) if sc else 2
+        p.scale = int(sc) if sc else meta_scale_default
         if get_boolean_value(conf.get_value("isuniformscale", True)) is False:
             p.scale = 1
     if comp.startswith("lerc"):
@@ -152,8 +213,11 @@ def encoder_struct_col(mode: Column, compression: Column,
     base = F.get(parts, 0)
     second = F.get(parts, 1)
     is_cog = second == "cog"
-    comp = (F.when(is_cog, F.lit("deflate"))
-             .when(second.isNotNull(), second)
+    # mode *_cog keeps the configured compression (only the separate cog
+    # config key forces deflate — resolve() handles that job-wide);
+    # dg/landsat product tokens pin lerc per the reference templates
+    comp = (F.when(second.isin(*sorted(COMPRESSION_TOKENS)), second)
+             .when(second.isin("dg", "landsat"), F.lit("lerc"))
              .otherwise(F.lower(compression)))
     comp = F.when(comp.startswith("jpeg"), F.lit("jpeg")).otherwise(comp)
     out_format = (F.when(is_cog, F.lit("COG"))

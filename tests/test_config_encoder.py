@@ -76,20 +76,73 @@ def test_encoder_jpeg12_and_cog():
     p = encoder.resolve(Config(dict(Mode="tif_jpeg12")), n_bands=3)
     co = p.creation_options()
     assert co["NBITS"] == "12" and co["COMPRESS"] == "jpeg"
-    p2 = encoder.resolve(Config(dict(Mode="tif_cog")), n_bands=3)
+    # mode *_cog keeps the CONFIGURED compression (args_Callback
+    # :3927-3931) — jpeg under the COG driver uses QUALITY=, no JPEG_
+    # prefix, and no YCbCr (the COG driver defaults it)
+    p2 = encoder.resolve(Config(dict(Mode="tif_cog", Compression="jpeg",
+                                     Quality="80")), n_bands=3)
     co2 = p2.creation_options()
     assert p2.out_format == "COG"
-    assert co2["COMPRESS"] == "deflate"          # COG forces deflate
+    assert co2["COMPRESS"] == "jpeg" and co2["QUALITY"] == "80"
+    assert "JPEG_QUALITY" not in co2 and "PHOTOMETRIC" not in co2
     assert "TILED" not in co2 and "INTERLEAVE" not in co2
+    # only the separate cog CONFIG key (useCOGTIFF :3897) forces deflate
+    p3 = encoder.resolve(Config(dict(Mode="tif", Compression="jpeg",
+                                     cog="true")), n_bands=3)
+    assert p3.compression == "deflate" and p3.out_format == "GTiff"
 
 
 def test_encoder_deflate_predictor_and_meta():
     p = encoder.resolve(Config(dict(Mode="tif_lzw", Predictor="2")))
     assert p.creation_options()["predictor"] == "2"
+    # predictor is gated on PIXEL interleave (args_Callback :3958-3962)
+    pb = encoder.resolve(Config(dict(Mode="tif_lzw", Predictor="2",
+                                     Interleave="BAND")))
+    assert "predictor" not in pb.creation_options()
     m = encoder.resolve(Config(dict(Mode="rasterproxy", Scale="3")),
                         meta=True)
     co = m.creation_options()
     assert co["NOCOPY"] == "True" and m.scale == 3
+
+
+def test_encoder_full_mode_whitelist():
+    """Every mode in the reference whitelist (:5533-5553) resolves with
+    its mode-specific semantics."""
+    from optimizerasters_spark.config import VALID_MODES
+    for mode in VALID_MODES:
+        p = encoder.resolve(Config(dict(Mode=mode)))
+        assert p.mode == mode
+        co = p.creation_options()
+        assert "COMPRESS" in co
+    # proxy modes: MRF, no pyramids, NOCOPY proxies
+    for mode in ("cachingmrf", "clonemrf", "rasterproxy", "splitmrf"):
+        p = encoder.resolve(Config(dict(Mode=mode)))
+        assert p.out_format == "MRF" and not p.pyramids and p.nocopy
+    # splitmrf + lerc: DataFile/IndexFile extension split
+    p = encoder.resolve(Config(dict(Mode="splitmrf", Compression="lerc")))
+    assert (p.data_ext, p.index_ext) == (".lrc", ".idx")
+    assert encoder.resolve(
+        Config(dict(Mode="splitmrf", Compression="jpeg"))).data_ext is None
+    # clone marking: mrf-family sources + clonemrf (:1643-1647)
+    assert encoder.resolve(Config(dict(Mode="mrf_jpeg"))).clone_source
+    assert encoder.resolve(Config(dict(Mode="clonemrf"))).clone_source
+    assert not encoder.resolve(Config(dict(Mode="tif_jpeg"))).clone_source
+    # dg/landsat product profiles pin MRF+LERC; landsat proxies Scale=3
+    for mode in ("tif_dg", "mrf_dg", "tiff_landsat", "mrf_landsat"):
+        p = encoder.resolve(Config(dict(Mode=mode)))
+        assert p.compression == "lerc", mode
+    lp = encoder.resolve(Config(dict(Mode="tiff_landsat")), meta=True)
+    assert lp.scale == 3  # Templates/Landsat8_RasterProxy.xml <Scale>3
+    dg = encoder.resolve(Config(dict(Mode="mrf_dg")), meta=True)
+    assert dg.scale == 2
+    # maker modes dispatch to dedicated builders, emit MRF
+    for mode in ("bundle", "iiq", "aid"):
+        p = encoder.resolve(Config(dict(Mode=mode)))
+        assert p.maker == mode and p.out_format == "MRF"
+    # invalid mode rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        encoder.resolve(Config(dict(Mode="nonsense")))
 
 
 def test_encoder_struct_col(spark):
@@ -107,4 +160,6 @@ def test_encoder_struct_col(spark):
         and e0["quality"] == 85 and e0["options"] == "V2=ON"
     assert e1["out_format"] == "GTiff" and e1["compression"] == "jpeg" \
         and e1["quality"] == 75 and e1["block_size"] == 256
-    assert e2["out_format"] == "COG" and e2["compression"] == "deflate"
+    # *_cog keeps the row's configured compression (only the cog config
+    # key forces deflate, and that is job-wide via resolve())
+    assert e2["out_format"] == "COG" and e2["compression"] == "jpeg"
