@@ -53,14 +53,19 @@ def main() -> None:
     # the headline number
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+    medians: dict[str, float] = {}
+
     def bench(name: str, fn) -> None:
-        best = None
-        for _ in range(runs):  # min-of-N: shields against JIT/GC noise
+        # report BOTH min (shields against this host's bursty steal) and
+        # median (so a regression can't hide behind one lucky window)
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
 
     def flagship():
         # tiling+join headline needs no payload columns: project BEFORE the
@@ -93,9 +98,13 @@ def main() -> None:
         "value": timings["flagship_e2e"],
         "unit": "sec",
         "pages_per_sec": round(n_pages / timings["flagship_e2e"], 1),
+        "pages_per_sec_median": round(
+            n_pages / medians["flagship_e2e"], 1),
         "queries": timings,
+        "queries_median": medians,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "flagship_sec": timings["flagship_e2e"],
+        "flagship_sec_median": medians["flagship_e2e"],
         "pages": n_pages,
         "replicate": REPLICATE,
         "cpus": int(CPUS),

@@ -63,55 +63,79 @@ def run_at(n_executors: int) -> dict:
 
 def main() -> None:
     n_exec = int(os.environ.get("SPARK_GRAFT_N_EXECUTORS", "1"))
-    repeats = int(os.environ.get("SPARK_GRAFT_PROTOCOL_REPEATS", "2"))
-    # the sandbox VM has bursty background steal; repeat the whole
-    # protocol and keep the best run per level (peak-capability pairing)
-    lo = hi = None
+    repeats = int(os.environ.get("SPARK_GRAFT_PROTOCOL_REPEATS", "3"))
+    # PAIRED protocol: each repeat runs BOTH levels back-to-back (fresh
+    # JVM each) and yields one efficiency number from that same repeat —
+    # cross-repeat best-run pairing would overstate scaling on a host
+    # with bursty background steal. The reported figure is the MEDIAN of
+    # the per-repeat paired efficiencies; min/max are disclosed.
+    pairs = []
     for _ in range(repeats):
         a = run_at(n_exec)
         b = run_at(4 * n_exec)
-        if lo is None or a["flagship_sec"] < lo["flagship_sec"]:
-            lo = a
-        if hi is None or b["flagship_sec"] < hi["flagship_sec"]:
-            hi = b
-    tput_lo = lo["pages_per_sec"]
-    tput_hi = hi["pages_per_sec"]
-    eff = (tput_hi / tput_lo) / 4.0
+        eff = (b["pages_per_sec"] / a["pages_per_sec"]) / 4.0
+        pairs.append((eff, a, b))
+    pairs.sort(key=lambda p: p[0])
+    eff_med, lo, hi = pairs[len(pairs) // 2]
+    eff_min, eff_max = pairs[0][0], pairs[-1][0]
+    # the metric name states what actually scaled: task THREADS in one
+    # JVM (local[c]) vs separate executor JVMs (local-cluster)
+    unit_word = "threads" if MODE == "threads" else "executors"
     result = {
-        "metric": "scaling_efficiency_Nx4N_executors",
-        "value": round(eff, 3),
+        "metric": f"scaling_efficiency_Nx4N_{unit_word}",
+        "value": round(eff_med, 3),
         "unit": "ratio",
+        "selection": "median of per-repeat paired efficiencies",
+        "repeats": repeats,
+        "efficiency_min": round(eff_min, 3),
+        "efficiency_max": round(eff_max, 3),
+        "mode": MODE,
         "n_executors": n_exec,
         "4n_executors": 4 * n_exec,
         "exec_cores": EXEC_CORES,
         "pages": lo["pages"],
         "sec_at_N": lo["flagship_sec"],
         "sec_at_4N": hi["flagship_sec"],
-        "pages_per_sec_at_N": tput_lo,
-        "pages_per_sec_at_4N": tput_hi,
+        "pages_per_sec_at_N": lo["pages_per_sec"],
+        "pages_per_sec_at_4N": hi["pages_per_sec"],
         "sf": lo["sf"],
     }
     print(json.dumps(result))
 
+    rows = "\n".join(
+        f"| {i + 1} | {a['flagship_sec']} | {b['flagship_sec']} | "
+        f"{a['pages_per_sec']:,.0f} | {b['pages_per_sec']:,.0f} | "
+        f"{e:.3f} |"
+        for i, (e, a, b) in enumerate(pairs))
     md = f"""# BENCH — measured results
 
-## Scaling evidence (north_rule protocol: same job, two cluster sizes)
+## Scaling evidence (north_rule protocol: same job, two parallelism levels)
 
 Flagship pipeline (dedup -> 512-grid tile assign -> PIP cell-cover join ->
 per-tile aggregation) over {lo['pages']:,} synthesized pages
-(sf{lo['sf']} documents x{REPLICATE}), min-of-N runs, fresh JVM per level,
-identical input and shuffle-partition count at both levels. Mode
-`{MODE}`: {"one JVM, parallelism = task threads (local[c])"
+(sf{lo['sf']} documents x{REPLICATE}), identical input and
+shuffle-partition count at both levels, fresh JVM per run. Mode
+`{MODE}`: {"one JVM, parallelism = task THREADS (local[c]) — the metric"
+           " is named *_threads accordingly; no separate executor"
+           " processes exist in this mode"
            if MODE == "threads" else
            "separate executor JVMs (local-cluster[n,c,mem]) with real"
            " shuffle + RPC paths"}.
 
-| level | total cores | wall (s) | pages/sec |
-|---|---|---|---|
-| N | {n_exec * EXEC_CORES} | {lo['flagship_sec']} | {tput_lo:,.0f} |
-| 4N | {4 * n_exec * EXEC_CORES} | {hi['flagship_sec']} | {tput_hi:,.0f} |
+**Selection rule (disclosed):** each repeat runs N then 4N back-to-back
+and yields ONE paired efficiency; each level's wall time is min-of-
+{os.environ.get('SPARK_GRAFT_BENCH_RUNS', '3')} actions inside that run
+(guards JIT/GC warmup). The headline is the MEDIAN of the
+{repeats} per-repeat efficiencies — never a cross-repeat best-vs-best
+pairing.
 
-**Scaling efficiency N -> 4N = {eff:.3f}** (target >= 0.8).
+| repeat (sorted by eff) | N wall (s) | 4N wall (s) | N pages/s | 4N pages/s | efficiency |
+|---|---|---|---|---|---|
+{rows}
+
+**Scaling efficiency N -> 4N (median pair) = {eff_med:.3f}**
+(target >= 0.8; observed range {eff_min:.3f}-{eff_max:.3f} across
+repeats).
 
 Protocol notes: this sandbox VM shows hypervisor steal time and heavy
 kernel/system time above ~8-16 busy threads, and a ~2x inter-process

@@ -1535,9 +1535,31 @@ def q_encoder_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         e["options"].alias("options"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: coarse-quantize to the nearest of K centroids,
+    probe the query's 2 nearest lists, exact top-k within. The inverted-
+    file scale path beside the SimHash one; fully deterministic here
+    (centroids are a fixed id-stride sample), so SQL-oracle-checkable."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"))
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    return similarity.ivf_topk(e, q, cents, k=5, nprobe=2)
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.rolling_fingerprint(d)
+
+
 QUERIES.update({"til_finalize": q_til_finalize,
                 "ledger_resolve": q_ledger_resolve,
-                "encoder_matrix": q_encoder_matrix})
+                "encoder_matrix": q_encoder_matrix,
+                "ivf_topk": q_ivf_topk,
+                "rolling_fingerprint": q_rolling_fingerprint})
 ORACLES.update({
     "til_finalize": f"""
 WITH {FILES_CTE.strip()}, {LEDGER_CTE.strip()},
@@ -1612,5 +1634,55 @@ SELECT doc_id,
   CASE WHEN (CASE WHEN comp0 LIKE 'jpeg%' THEN 'jpeg' ELSE comp0 END)
             = 'lerc' THEN 'V2=ON' ELSE '' END AS options
 FROM c
+""",
+    "ivf_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id % 97 = 0),
+ea AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_sum(list_transform(generate_series(1, len(e.v)),
+                                i -> e.v[i] * c.cvec[i])) /
+        (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+         sqrt(list_sum(list_transform(c.cvec, x -> x * x)))) DESC,
+        c.cent_id) AS rn
+    FROM e CROSS JOIN c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+qa AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.query_id, q.qv, c.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_sum(list_transform(generate_series(1, len(q.qv)),
+                                i -> q.qv[i] * c.cvec[i])) /
+        (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+         sqrt(list_sum(list_transform(c.cvec, x -> x * x)))) DESC,
+        c.cent_id) AS rn
+    FROM q CROSS JOIN c)
+  WHERE rn <= 2),
+cand AS (
+  SELECT qa.query_id, ea.vec_id,
+    list_sum(list_transform(generate_series(1, len(ea.v)),
+                            i -> ea.v[i] * qa.qv[i])) /
+    (sqrt(list_sum(list_transform(ea.v, x -> x * x))) *
+     sqrt(list_sum(list_transform(qa.qv, x -> x * x)))) AS cos_sim
+  FROM ea JOIN qa USING (cent_id))
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INT) AS sim_rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM cand)
+WHERE rn <= 5
+""",
+    "rolling_fingerprint": """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(lower(text), ' '),
+        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647)),
+    (a, b) -> (a * 1000003 + b) % 2147483647) AS roll_hash,
+  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+FROM documents
 """,
 })

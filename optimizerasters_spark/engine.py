@@ -54,6 +54,12 @@ class JobConf:
     # reference's failed-upload list + end-of-run retry pass
     # (OptimizeRasters.py:3729-3740, :7004-7049).
     inject_fail_mod: int | None = None
+    # task-granularity bound: at most this many pages per write task —
+    # the -queuelength chunking knob (OptimizeRasters.py:638-676 chunked
+    # the Lambda payload the same way). None = leave partitioning to the
+    # scan/AQE. Costs one count job per batch when set, exactly like the
+    # reference's len(list) chunk math.
+    queue_length: int | None = None
 
 
 class Engine:
@@ -104,11 +110,15 @@ class Engine:
             led = L.read_ledger(spark, conf.workdir)
 
         # ---- stage "process": per-page tile assign + PIP join ----------
+        # row counts ride the stage's own action (Observation) — no
+        # extra count pass over the input; per-partition detail comes
+        # from the written parquet footers (lineage.py)
         todo = L.pending(pages, led, "processed", "url")
         with lineage.StageTimer(spark, conf.workdir, self.run_id,
-                                "process", todo):
-            ok, failed = self._split_injected(todo)
-            self._process_batch(spark, ok, f"batch={self.run_id}")
+                                "process") as st:
+            ok, failed = self._split_injected(st.observe(todo))
+            self._process_batch(spark, ok, f"batch={self.run_id}",
+                                timer=st)
             if failed is not None:
                 # quarantine: mark 'no' (A6); dedup-append like
                 # _addToFailedList, then ONE retry pass at the end.
@@ -124,9 +134,10 @@ class Engine:
             "url", "left_semi")
         if retry.limit(1).count() > 0:
             with lineage.StageTimer(spark, conf.workdir, self.run_id,
-                                    "retry", retry):
-                self._process_batch(spark, retry,
-                                    f"batch={self.run_id}-retry")
+                                    "retry") as st:
+                self._process_batch(spark, st.observe(retry),
+                                    f"batch={self.run_id}-retry",
+                                    timer=st)
 
         # ---- stage "finalize": dedup + pyramids + manifest --------------
         all_pages = spark.read.parquet(self._pages_out())
@@ -134,7 +145,9 @@ class Engine:
         # duplicate (url, polygon_id) rows across batches — keep one.
         all_pages = all_pages.dropDuplicates(["url", "polygon_id"])
         with lineage.StageTimer(spark, conf.workdir, self.run_id,
-                                "finalize", all_pages):
+                                "finalize") as st:
+            all_pages = st.observe(all_pages)
+            st.add_output_dir(self._tiles_out())
             per_page = all_pages.dropDuplicates(["url"])
             counts = spatial.tile_counts_at_levels(per_page, conf.levels)
             counts.write.mode("overwrite").parquet(self._tiles_out())
@@ -158,7 +171,8 @@ class Engine:
             led_fin.select("url", "processed"), "url", "left") \
             .fillna({"processed": ""})
         with lineage.StageTimer(spark, conf.workdir, self.run_id,
-                                "til_finalize", members):
+                                "til_finalize") as st:
+            members = st.observe(members)
             complete = groups.til_complete_groups(
                 members, "til_group", "processed").select("til_group")
             stats = (spark.read.parquet(self._pages_out())
@@ -203,7 +217,7 @@ class Engine:
                 todo.where(F.col("doc_id") % mod == 0))
 
     def _process_batch(self, spark: SparkSession, batch: DataFrame,
-                       batch_name: str) -> None:
+                       batch_name: str, timer=None) -> None:
         """Tile + PIP join a page batch, append its output dir, then MERGE
         the ledger (write-before-mark = at-least-once + dedup)."""
         tiled = spatial.with_tiles(batch)
@@ -213,8 +227,20 @@ class Engine:
             "url", "doc_id", "tile_x", "tile_y", "polygon_id",
             "warc_epoch", "lang", "text",
             F.sha2(F.col("text"), 256).alias("text_sha"))
+        ql = self.conf.queue_length
+        if ql:
+            # bound pages per WRITE task (the -queuelength chunk math).
+            # Applied at the sink — an upstream repartition would be
+            # absorbed by the join/agg shuffles. repartition-by-number is
+            # exempt from AQE coalescing, so the file count holds.
+            n = batch.count()
+            if n == 0:
+                return
+            out = out.repartition(max(1, -(-n // ql)))
         batch_dir = os.path.join(self._pages_out(), batch_name)
         out.write.mode("overwrite").parquet(batch_dir)
+        if timer is not None:
+            timer.add_output_dir(batch_dir)
         # upsert (not merge): pages that entered the input AFTER the
         # ledger was initialized must be inserted, or they would
         # reprocess on every resume with their status never recorded

@@ -2,18 +2,25 @@
 
 The reference records per-file wall times via the TimeIt decorator
 (OptimizeRasters.py:245-282) and flushes them to CSV (:2094-2108). The
-Spark analog: per-STAGE, per-PARTITION row counts captured with
-``spark_partition_id()`` plus driver-side wall clock, appended to a
-metrics parquet. Partition counts come from a cheap count-only pass over
-the stage input (column-pruned scan — no payload movement).
+Spark analog, at ZERO extra passes over the data:
+
+  * stage input row counts ride the stage's OWN action via
+    ``Dataset.observe`` (an Observation aggregate accumulated per task
+    and merged on the driver — no separate count job; round 1 ran one
+    column-pruned count pass per stage, which the 100x thought
+    experiment flags as a full extra scan of every input).
+  * per-partition detail comes from the parquet FOOTERS of whatever the
+    stage wrote (one part file per write task): driver-side metadata
+    reads, O(#files), no Spark job, recorded under ``<stage>.files``.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 METRICS_SCHEMA = ("run_id STRING, stage STRING, partition_id INT, "
@@ -22,11 +29,6 @@ METRICS_SCHEMA = ("run_id STRING, stage STRING, partition_id INT, "
 
 def metrics_path(workdir: str) -> str:
     return os.path.join(workdir, "metrics")
-
-
-def partition_counts(df: DataFrame) -> DataFrame:
-    return (df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows")))
 
 
 def record_stage(spark: SparkSession, workdir: str, run_id: str,
@@ -38,29 +40,87 @@ def record_stage(spark: SparkSession, workdir: str, run_id: str,
     out.write.mode("append").parquet(metrics_path(workdir))
 
 
+def parquet_file_counts(path: str) -> list[tuple[int, int]]:
+    """(file_index, rows) per part file from parquet footers only —
+    pyarrow metadata reads, no data pages touched, no Spark job."""
+    import pyarrow.parquet as pq
+    out = []
+    for i, f in enumerate(sorted(glob.glob(os.path.join(path, "part-*")))):
+        try:
+            out.append((i, pq.ParquetFile(f).metadata.num_rows))
+        except Exception:
+            continue
+    return out
+
+
 class StageTimer:
     """Context manager: time a stage and append its lineage rows.
 
-    Partition counts are SNAPSHOTTED at stage entry (one column-pruned
-    count job) — the stage body may mutate inputs the lazy plan references
-    (ledger swap), so deferring evaluation would read torn state."""
+    Usage::
+
+        with StageTimer(spark, wd, run, "process") as st:
+            df = st.observe(input_df)   # counts ride the real action
+            ... actions on df / its descendants ...
+            st.add_output_dir(written_dir)  # per-partition via footers
+
+    The observed count is recorded as one (partition_id=-1) row under
+    the stage name; each registered output dir contributes per-file rows
+    under ``<stage>.files``. Passing ``df=`` to the constructor keeps
+    the round-1 snapshot behavior (one count job at entry) for callers
+    whose stage body performs no action on the observed lineage."""
 
     def __init__(self, spark: SparkSession, workdir: str, run_id: str,
-                 stage: str, df: DataFrame):
+                 stage: str, df: DataFrame | None = None):
         self.spark, self.workdir = spark, workdir
         self.run_id, self.stage = run_id, stage
-        self._counts = [(r["partition_id"], r["rows"])
-                        for r in partition_counts(df).collect()]
+        self._obs: Observation | None = None
+        self._out_dirs: list[str] = []
+        self._counts: list[tuple[int, int]] | None = None
+        if df is not None:
+            snap = (df.groupBy(F.spark_partition_id()
+                               .alias("partition_id"))
+                    .agg(F.count(F.lit(1)).alias("rows")))
+            self._counts = [(r["partition_id"], r["rows"])
+                            for r in snap.collect()]
+
+    def observe(self, df: DataFrame) -> DataFrame:
+        """Instrument the stage input: the returned DataFrame MUST flow
+        into the stage's action(s) or the observation never fires."""
+        self._obs = Observation(f"{self.stage}-{self.run_id}")
+        return df.observe(self._obs, F.count(F.lit(1)).alias("rows"))
+
+    def add_output_dir(self, path: str) -> None:
+        self._out_dirs.append(path)
 
     def __enter__(self):
         self.t0 = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
-        if exc[0] is None:
-            wall = int((time.perf_counter() - self.t0) * 1000)
-            record_stage(self.spark, self.workdir, self.run_id, self.stage,
-                         self._counts, wall)
+        if exc[0] is not None:
+            return False
+        wall = int((time.perf_counter() - self.t0) * 1000)
+        counts = self._counts
+        if counts is None:
+            n = 0
+            if self._obs is not None:
+                try:
+                    n = self._obs.get["rows"]
+                except Exception:
+                    # AQE empty-relation propagation replaces the whole
+                    # subtree (including CollectMetrics) with an empty
+                    # LocalTableScan when a shuffle stage materializes
+                    # empty — the observation then carries no row, which
+                    # MEANS zero input rows.
+                    n = 0
+            counts = [(-1, int(n))]
+        record_stage(self.spark, self.workdir, self.run_id, self.stage,
+                     counts, wall)
+        for d in self._out_dirs:
+            fc = parquet_file_counts(d)
+            if fc:
+                record_stage(self.spark, self.workdir, self.run_id,
+                             f"{self.stage}.files", fc, wall)
         return False
 
 

@@ -97,6 +97,61 @@ def simhash_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               vec_col: str = "vec", id_col: str = "vec_id",
+               nprobe: int = 1) -> DataFrame:
+    """IVF coarse quantization: each vector gets its ``nprobe`` most
+    cosine-similar centroid ids (ties -> lower cent_id). The centroid
+    table is broadcast (K is small by construction); the assignment is
+    the standard O(N*K) scan that every IVF index pays once at build."""
+    sim = (vectors.join(F.broadcast(centroids))
+           .withColumn("cent_sim",
+                       _dot(F.col(vec_col), F.col("cvec")) /
+                       (_norm2(F.col(vec_col)) * _norm2(F.col("cvec")))))
+    w = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(),
+                                           F.col("cent_id").asc())
+    return (sim.withColumn("cent_rank", F.row_number().over(w))
+            .where(F.col("cent_rank") <= nprobe)
+            .drop("cvec", "cent_sim", "cent_rank"))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame,
+             centroids: DataFrame, k: int = 5, nprobe: int = 2,
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-bucketed ANN (the inverted-file scale path next to the
+    SimHash one): vectors live in their single nearest centroid's list;
+    each query probes its ``nprobe`` nearest centroids; candidates meet
+    by an equi-join on cent_id and the exact top-k ranks within.
+
+    At 100 TB: the big side shuffles once on cent_id (or is written
+    bucketed by it), queries are broadcast, and recall is tuned by
+    nprobe without touching the stored lists."""
+    c = centroids.select("cent_id",
+                         F.col("cvec").cast("array<double>").alias("cvec"))
+    e = ivf_assign(
+        embeddings.select("vec_id",
+                          F.col(vec_col).cast("array<double>")
+                          .alias("vec")),
+        c, nprobe=1)
+    q = ivf_assign(
+        queries.select("query_id",
+                       F.col("qvec").cast("array<double>").alias("qvec")),
+        c, vec_col="qvec", id_col="query_id", nprobe=nprobe)
+    cand = (e.join(F.broadcast(q), "cent_id")
+            .withColumn("cos_sim",
+                        _dot(F.col("vec"), F.col("qvec")) /
+                        (_norm2(F.col("vec")) * _norm2(F.col("qvec")))))
+    # vectors hold ONE centroid (nprobe=1 on the build side), so
+    # (query, vec) candidate pairs are unique — no dedup needed
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("vec_id").asc())
+    return (cand.withColumn("sim_rank", F.row_number().over(w))
+            .where(F.col("sim_rank") <= k)
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("sim_rank").cast("int").alias("sim_rank"),
+                    F.col("vec_id").cast("bigint").alias("vec_id")))
+
+
 def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame,
                     planes: list[list[float]], k: int = 5,
                     vec_col: str = "embedding") -> DataFrame:

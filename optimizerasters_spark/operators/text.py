@@ -79,3 +79,33 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sha2(F.col(text_col), 256).alias("sha256_hex"),
         F.md5(F.col(text_col)).alias("md5_hex"),
         F.md5(norm).alias("norm_md5_hex"))
+
+
+ROLL_BASE = 1000003           # Karp-Rabin base (prime > 10^6)
+ROLL_MOD = 2147483647         # 2^31 - 1: h*B + t stays < 2^52, exact
+
+
+def rolling_fingerprint(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint: Karp-Rabin polynomial
+    rolling hash over the token sequence,
+    h = fold(tokens, 0, (h, t) -> (h * B + val(t)) mod M), with
+    val(t) = first 8 md5 hex digits as an integer. Unlike the set-based
+    MinHash signature this distinguishes permutations — the dedup key
+    for boilerplate-shifted near-copies.
+
+    All built-in column functions (split/transform/aggregate + md5/conv)
+    — whole-stage codegen, no Python. Integer domain keeps it exact and
+    oracle-checkable across engines (M < 2^31, so the fold accumulator
+    never exceeds 2^52)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    tval = lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)  # noqa: E731
+                      .cast("bigint") % ROLL_MOD)
+    h = F.aggregate(
+        F.transform(toks, tval),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * ROLL_BASE + t) % ROLL_MOD)
+    return docs.select(
+        "doc_id",
+        h.alias("roll_hash"),
+        F.size(toks).cast("bigint").alias("n_tokens"))

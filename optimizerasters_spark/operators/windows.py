@@ -35,6 +35,35 @@ def cumulative_until_target(events: DataFrame, order_cols: list[str],
             .drop("total_amount"))
 
 
+def apply_eviction(victims: DataFrame, path_col: str = "path") -> int:
+    """A8 action: DELETE the selected victim files (CleanMRFCache.py
+    :168-196 removes oldest-first until the space target is met; the
+    selection is ``cumulative_until_target``, this applies it).
+
+    foreachPartition — a distributed side-effect sink: each executor
+    deletes its shard of paths; genuinely imperative work, so this is
+    one of the few sanctioned non-DataFrame spots. Missing files are
+    tolerated (another worker or the OS may have raced us — the
+    reference ignores unlink errors the same way). Returns the number
+    of files actually removed (accumulator-counted)."""
+    sc = victims.sparkSession.sparkContext
+    acc = sc.accumulator(0)
+
+    def rm(rows):
+        import os
+        n = 0
+        for r in rows:
+            try:
+                os.remove(r[path_col])
+                n += 1
+            except FileNotFoundError:
+                pass
+        acc.add(n)
+
+    victims.select(path_col).foreachPartition(rm)
+    return acc.value
+
+
 def stage_pivot(metrics: DataFrame, entity_col: str, stage_col: str,
                 amount_col: str, stages: list[str]) -> DataFrame:
     """A7: explicit stage list keeps the plan static (no extra distinct
