@@ -9,6 +9,16 @@ from optimizerasters_spark.operators import dedup, spatial
 from optimizerasters_spark.pages import synth_pages, synth_boundaries
 
 
+def _top_tokens_plan(spark, sf, plan):
+    from optimizerasters_spark.contract import q_top_tokens
+    return plan(q_top_tokens(spark, sf))
+
+
+def _proxy_csv_plan(spark, sf, plan):
+    from optimizerasters_spark.contract import q_proxy_csv
+    return plan(q_proxy_csv(spark, sf))
+
+
 def main():
     spark = get_spark('plans', master='local[4]', shuffle_partitions='8')
     spark.sparkContext.setLogLevel("ERROR")
@@ -30,6 +40,16 @@ def main():
          plan(spatial.tile_counts_at_levels(spatial.with_tiles(p), [0, 4, 8]))),
         ("Dedup latest-per-url (partial_max_by map-side combine, no Window)",
          plan(dedup.dedup_latest(p.select("url", "doc_id", "warc_epoch")))),
+        ("Left PIP join (SINGLE pages scan; lost rows recovered by one "
+         "aggregation over the candidate stream)",
+         plan(spatial.pip_join(p, synth_boundaries(spark), how="left")
+              .select("doc_id", "polygon_id"))),
+        ("Corpus top-k (TakeOrderedAndProject — per-partition heaps, "
+         "no partition-less Window)",
+         _top_tokens_plan(spark, sf, plan)),
+        ("Proxy CSV dense ids (partition-offset zip-with-index; the only "
+         "partition-less Window is over the O(#partitions) counts table)",
+         _proxy_csv_plan(spark, sf, plan)),
     ]
     out = ['# PLANS — captured physical plans (`.explain("formatted")`)', "",
            "Generated against sf0.001; regenerate with `python tools_plans.py`.",
