@@ -764,14 +764,26 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          block_col="label")
 
 
+def q_knn_kring_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native ring expansion (distributed, no driver loop) —
+    must equal the list-driven form (same oracle)."""
+    p = synth_pages(spark, sf_dir)
+    q = spark.createDataFrame(
+        KNN_QUERIES, "query_id BIGINT, qlon_md BIGINT, qlat_md BIGINT")
+    return spatial.knn_kring_df(p, q, k=KNN_K, cell_md=KNN_RADIUS_MD,
+                                ring=1)
+
+
 QUERIES.update({
     "knn_kring": q_knn_kring,
+    "knn_kring_df": q_knn_kring_df,
     "embedding_near_dup": q_embedding_near_dup,
 })
 
 ORACLES.update({
     # identical semantics to the bbox-radius kNN for ring*cell == radius
     "knn_kring": ORACLES["knn_per_cell"],
+    "knn_kring_df": ORACLES["knn_per_cell"],
     "embedding_near_dup": """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings)
@@ -1555,11 +1567,23 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rolling_fingerprint(d)
 
 
+def q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: per-cell counts + floored-micro skew ratio (the
+    three urban hot cells surface as ratio >= 10x median)."""
+    from optimizerasters_spark.operators import skew
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    h = skew.cell_histogram(p)
+    return h.select("tile_x", "tile_y",
+                    F.col("n").cast("bigint").alias("n"),
+                    "skew_ratio_micro")
+
+
 QUERIES.update({"til_finalize": q_til_finalize,
                 "ledger_resolve": q_ledger_resolve,
                 "encoder_matrix": q_encoder_matrix,
                 "ivf_topk": q_ivf_topk,
-                "rolling_fingerprint": q_rolling_fingerprint})
+                "rolling_fingerprint": q_rolling_fingerprint,
+                "cell_histogram": q_cell_histogram})
 ORACLES.update({
     "til_finalize": f"""
 WITH {FILES_CTE.strip()}, {LEDGER_CTE.strip()},
@@ -1684,5 +1708,15 @@ SELECT doc_id,
     (a, b) -> (a * 1000003 + b) % 2147483647) AS roll_hash,
   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
 FROM documents
+""",
+    "cell_histogram": f"""
+{_W},
+t AS (SELECT {_TILE_SQL} FROM pages),
+counts AS (SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n
+           FROM t GROUP BY 1, 2),
+stats AS (SELECT quantile_cont(n, 0.5) AS median_n FROM counts)
+SELECT tile_x, tile_y, n,
+       CAST(FLOOR(n * 1000000 / median_n) AS BIGINT) AS skew_ratio_micro
+FROM counts CROSS JOIN stats
 """,
 })

@@ -77,11 +77,20 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
 
 def cell_histogram(pages_with_tiles: DataFrame,
                    cell_cols: list[str] | None = None) -> DataFrame:
-    """Skew diagnostic: per-cell counts + global skew ratio columns."""
+    """Skew diagnostic: per-cell counts + global skew ratio.
+
+    Exact interpolated median here (oracle-checkable;
+    ``percentile_approx`` swaps in plan-compatibly at 10^12 rows — one
+    pass either way, the stats row stays a 1-row broadcast). The ratio
+    is also emitted in floored micro-units so downstream thresholds are
+    integer-exact across engines."""
     cell_cols = cell_cols or ["tile_x", "tile_y"]
     counts = (pages_with_tiles.groupBy(*cell_cols)
               .agg(F.count(F.lit(1)).alias("n")))
     stats = counts.agg(F.max("n").alias("max_n"),
-                       F.expr("percentile_approx(n, 0.5)").alias("median_n"))
-    return counts.crossJoin(F.broadcast(stats)) \
-        .withColumn("skew_ratio", F.col("n") / F.col("median_n"))
+                       F.expr("percentile(n, 0.5)").alias("median_n"))
+    return (counts.crossJoin(F.broadcast(stats))
+            .withColumn("skew_ratio", F.col("n") / F.col("median_n"))
+            .withColumn("skew_ratio_micro",
+                        F.floor(F.col("n") * 1000000 / F.col("median_n"))
+                        .cast("bigint")))

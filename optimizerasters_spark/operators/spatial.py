@@ -169,6 +169,46 @@ def knn_per_query(pages: DataFrame, query_points: list[tuple[int, int, int]],
                     "doc_id", F.col("dist2").cast("bigint").alias("dist2")))
 
 
+def knn_kring_df(pages: DataFrame, queries: DataFrame, k: int = 5,
+                 cell_md: int = 1000, ring: int = 1) -> DataFrame:
+    """DataFrame-native k-ring kNN: the query side is a TABLE
+    (query_id, qlon_md, qlat_md) and its (2*ring+1)^2 ring cells expand
+    DISTRIBUTED via explode(sequence) — no driver-side loop, so the
+    query set can itself be large (the reference's batch-of-AOIs case).
+    Identical semantics to knn_kring; pages equi-join the ring table on
+    their existing cell column and never shuffle when the ring table
+    broadcasts."""
+    dx = F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("dx")
+    with_dx = queries.select("query_id", "qlon_md", "qlat_md", dx)
+    dy = F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("dy")
+    ring_df = (with_dx.select("query_id", "qlon_md", "qlat_md", "dx", dy)
+               .select("query_id", "qlon_md", "qlat_md",
+                       tiling.pack_cell_col(
+                           F.floor(F.col("qlon_md") / cell_md) + F.col("dx"),
+                           F.floor(F.col("qlat_md") / cell_md) + F.col("dy"))
+                       .alias("cell")))
+    radius = ring * cell_md
+    cand = (pages.withColumn(
+                "cell",
+                tiling.pack_cell_col(F.floor(F.col("lon_md") / cell_md),
+                                     F.floor(F.col("lat_md") / cell_md)))
+            .join(F.broadcast(ring_df), "cell")
+            .withColumn(
+                "dist2",
+                (F.col("lon_md") - F.col("qlon_md")) *
+                (F.col("lon_md") - F.col("qlon_md")) +
+                (F.col("lat_md") - F.col("qlat_md")) *
+                (F.col("lat_md") - F.col("qlat_md")))
+            .where(F.col("dist2") <= radius * radius))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                               F.col("doc_id").asc())
+    return (cand.withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+            .select("query_id",
+                    F.col("knn_rank").cast("int").alias("knn_rank"),
+                    "doc_id", F.col("dist2").cast("bigint").alias("dist2")))
+
+
 def knn_kring(pages: DataFrame, query_points: list[tuple[int, int, int]],
               k: int = 5, cell_md: int = 1000, ring: int = 1) -> DataFrame:
     """Cell-bucketed kNN (SURVEY.md J5): pages carry their grid cell;

@@ -40,11 +40,21 @@ def test_full_run_and_text_byte_identity(spark, sf_dir, workdir):
         (F.col("sha_src") != F.col("text_sha")) |
         F.col("sha_src").isNull() | F.col("sha_out").isNull()).count() == 0
 
-    # lineage metrics exist for both stages with positive rows
+    # lineage metrics exist for both stages with positive rows, plus
+    # per-partition (per part file) detail from the parquet footers
     m = eng.get_metrics(spark)
     stages = {r["stage"] for r in m.collect()}
-    assert {"process", "finalize"} <= stages
+    assert {"process", "finalize", "til_finalize",
+            "process.files"} <= stages
     assert m.where(F.col("rows") < 0).count() == 0
+    n_in = (m.where(F.col("stage") == "process")
+            .agg(F.sum("rows")).collect()[0][0])
+    assert n_in == synth_pages(spark, sf_dir).count()
+    # footer counts sum to the written output rows (>= input: left PIP
+    # join emits one row per page per matching polygon)
+    n_files = (m.where(F.col("stage") == "process.files")
+               .agg(F.sum("rows")).collect()[0][0])
+    assert n_files >= n_in
 
 
 def test_resume_skips_processed(spark, sf_dir, workdir):
