@@ -1567,6 +1567,24 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rolling_fingerprint(d)
 
 
+NEAR_DUP_PLANES = [[(((i * 2654435761 + j * 40503) % 1000) - 500) / 500.0
+                    for j in range(64)] for i in range(4)]
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with a SimHash bucket as the BLOCK key — the
+    100 TB form: no fixture label, candidates meet only inside their
+    hyperplane-sign bucket (16 buckets here). Same pair semantics as
+    embedding_near_dup, content-derived blocking."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = e.withColumn(
+        "lsh_bucket",
+        similarity.simhash_bucket(
+            F.col("embedding").cast("array<double>"), NEAR_DUP_PLANES))
+    return similarity.embedding_near_dup(e, threshold_micro=200000,
+                                         block_col="lsh_bucket")
+
+
 def q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostic: per-cell counts + floored-micro skew ratio (the
     three urban hot cells surface as ratio >= 10x median)."""
@@ -1583,7 +1601,8 @@ QUERIES.update({"til_finalize": q_til_finalize,
                 "encoder_matrix": q_encoder_matrix,
                 "ivf_topk": q_ivf_topk,
                 "rolling_fingerprint": q_rolling_fingerprint,
-                "cell_histogram": q_cell_histogram})
+                "cell_histogram": q_cell_histogram,
+                "embedding_near_dup_lsh": q_embedding_near_dup_lsh})
 ORACLES.update({
     "til_finalize": f"""
 WITH {FILES_CTE.strip()}, {LEDGER_CTE.strip()},
@@ -1718,5 +1737,34 @@ stats AS (SELECT quantile_cont(n, 0.5) AS median_n FROM counts)
 SELECT tile_x, tile_y, n,
        CAST(FLOOR(n * 1000000 / median_n) AS BIGINT) AS skew_ratio_micro
 FROM counts CROSS JOIN stats
+""",
+    "embedding_near_dup_lsh": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl AS (
+  SELECT i, list_transform(
+           generate_series(0, 63),
+           j -> (CAST((i * 2654435761 + j * 40503) % 1000 AS DOUBLE) - 500)
+                / 500.0) AS p
+  FROM generate_series(0, 3) t(i)),
+b AS (
+  SELECT e.vec_id, e.v,
+    CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                                k -> e.v[k] * pl.p[k])) >= 0
+             THEN 1 << i ELSE 0 END) AS INT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id, e.v)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
+       CAST(b2.vec_id AS BIGINT) AS vec_b,
+       CAST(FLOOR(
+         list_sum(list_transform(generate_series(1, len(a.v)),
+                                 i -> a.v[i] * b2.v[i])) /
+         (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+          sqrt(list_sum(list_transform(b2.v, x -> x * x)))) * 1000000)
+         AS BIGINT) AS sim_micro
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE FLOOR(
+  list_sum(list_transform(generate_series(1, len(a.v)),
+                          i -> a.v[i] * b2.v[i])) /
+  (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+   sqrt(list_sum(list_transform(b2.v, x -> x * x)))) * 1000000) >= 200000
 """,
 })
