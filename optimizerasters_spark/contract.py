@@ -1585,6 +1585,22 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          block_col="lsh_bucket")
 
 
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell encoder, BOTH paths side by side: the Catalyst
+    column expression (codegen) and the Arrow-vectorized pandas UDF (the
+    slot a real H3/S2 encoder plugs into). The driver gate hashing both
+    against the oracle proves the UDF boundary is value-exact — swapping
+    in h3 later cannot silently drift the plan's semantics."""
+    from optimizerasters_spark.functions import geo
+    p = synth_pages(spark, sf_dir)
+    udf = geo.make_cell_encode_udf(4096)
+    return p.select(
+        "doc_id",
+        geo.cell_encode_col(F.col("lon_md"), F.col("lat_md"), 4096)
+            .alias("cell_col"),
+        udf(F.col("lon_md"), F.col("lat_md")).alias("cell_udf"))
+
+
 def q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostic: per-cell counts + floored-micro skew ratio (the
     three urban hot cells surface as ratio >= 10x median)."""
@@ -1602,7 +1618,8 @@ QUERIES.update({"til_finalize": q_til_finalize,
                 "ivf_topk": q_ivf_topk,
                 "rolling_fingerprint": q_rolling_fingerprint,
                 "cell_histogram": q_cell_histogram,
-                "embedding_near_dup_lsh": q_embedding_near_dup_lsh})
+                "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+                "cell_encode": q_cell_encode})
 ORACLES.update({
     "til_finalize": f"""
 WITH {FILES_CTE.strip()}, {LEDGER_CTE.strip()},
@@ -1766,5 +1783,14 @@ WHERE FLOOR(
                           i -> a.v[i] * b2.v[i])) /
   (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
    sqrt(list_sum(list_transform(b2.v, x -> x * x)))) * 1000000) >= 200000
+""",
+    "cell_encode": f"""
+{_W}
+SELECT doc_id,
+  CAST(FLOOR(lon_md * 4096 / 360000) AS BIGINT) * 536870912
+    + CAST(FLOOR(lat_md * 4096 / 360000) AS BIGINT) AS cell_col,
+  CAST(FLOOR(lon_md * 4096 / 360000) AS BIGINT) * 536870912
+    + CAST(FLOOR(lat_md * 4096 / 360000) AS BIGINT) AS cell_udf
+FROM pages
 """,
 })
