@@ -87,7 +87,9 @@ def main() -> None:
     qnames = [] if only == "flagship" else [
         "tile_assign", "tile_counts_pyramid", "pip_join",
         "knn_per_cell", "dedup_latest", "minhash_lsh_pairs",
-        "cosine_topk", "pricing_summary"]
+        "cosine_topk", "pricing_summary", "ngram_jaccard",
+        "top_tokens", "ivf_topk", "salted_cell_payloads",
+        "rasterize_tiles"]
     for qname in qnames:
         q = contract.QUERIES[qname]
         bench(qname, lambda q=q: q(spark, SF_DIR)
