@@ -103,11 +103,29 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     """IVF coarse quantization: each vector gets its ``nprobe`` most
     cosine-similar centroid ids (ties -> lower cent_id). The centroid
     table is broadcast (K is small by construction); the assignment is
-    the standard O(N*K) scan that every IVF index pays once at build."""
+    the standard O(N*K) scan that every IVF index pays once at build.
+
+    nprobe=1 (the BUILD side — billions of vectors) is an aggregation,
+    not a window: max_by over (sim, -cent_id) partial-combines the K
+    candidate rows map-side (they are colocated — the broadcast join
+    emitted them from one input row), so the shuffle carries ONE row per
+    vector instead of all N*K. The window form is kept for nprobe>1,
+    which only the small query side uses."""
     sim = (vectors.join(F.broadcast(centroids))
            .withColumn("cent_sim",
                        _dot(F.col(vec_col), F.col("cvec")) /
                        (_norm2(F.col(vec_col)) * _norm2(F.col("cvec")))))
+    if nprobe == 1:
+        others = [c for c in vectors.columns if c != id_col]
+        ord_key = F.struct(F.col("cent_sim"),
+                           (-F.col("cent_id")).alias("_inv"))
+        agg = sim.groupBy(id_col).agg(
+            F.max_by(F.struct(F.col("cent_id"),
+                              *[F.col(c) for c in others]), ord_key)
+            .alias("_best"))
+        return agg.select(
+            id_col, F.col("_best.cent_id").alias("cent_id"),
+            *[F.col(f"_best.{c}").alias(c) for c in others])
     w = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(),
                                            F.col("cent_id").asc())
     return (sim.withColumn("cent_rank", F.row_number().over(w))

@@ -102,6 +102,15 @@ def test_pip_left_join_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1, plan
 
 
+def test_ivf_build_assignment_aggregates_not_windows(spark, sf_dir):
+    """The IVF build-side nearest-centroid argmax must be a max_by
+    aggregation (map-side combine collapses the K candidate rows per
+    vector before the shuffle), never a Window over all N*K rows."""
+    from optimizerasters_spark.contract import q_ivf_topk
+    plan = _plan(q_ivf_topk(spark, sf_dir))
+    assert "partial_max_by" in plan, plan
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE skew-join must actually split hot partitions at runtime: a
     sort-merge join where one key holds half the rows gets its skewed
