@@ -131,8 +131,17 @@ def resolve(base: DataFrame | None,
     reference's updateRecordStatus on unknown paths).
 
     Shape: ONE aggregation over the delta log (max_by per status column,
-    partial map-side) + one join against the base on url. The base —
-    the big side at 10^12 rows — is scanned once and never rewritten."""
+    partial map-side), then a LEFT join (updates) plus an anti-join
+    (inserts) against the base — NOT a full outer join: Spark cannot
+    broadcast full-outer, so the full-join form would shuffle the entire
+    base (10^12 rows, payload and all) on url for every read. The left
+    join broadcasts the delta aggregate whenever it fits (Catalyst/AQE
+    sizing — no forced hint, so oversized delta logs degrade to a
+    shuffled join instead of an OOM), leaving the base payload
+    shuffle-free; the insert-detection anti-join touches only the
+    base's url COLUMN, and only while uncompacted deltas exist —
+    compaction (bounded at COMPACT_AFTER commits) returns reads to a
+    pure base scan."""
     if deltas is None:
         return base
     per_url = deltas.groupBy("url").agg(
@@ -141,24 +150,23 @@ def resolve(base: DataFrame | None,
           for c in STATUS_COLS],
         F.max_by(F.col("run_id"), F.col("seq")).alias("_d_run"),
         F.max(F.when(F.col("is_upsert"), 1).otherwise(0)).alias("_ins"))
+    fresh_rows = lambda df: df.select(  # noqa: E731
+        "url",
+        *[F.coalesce(F.col(f"_d_{c}"), F.lit(UNDEF)).alias(c)
+          for c in STATUS_COLS],
+        F.col("_d_run").alias("updated_run"))
     if base is None:
-        inserted = per_url.where(F.col("_ins") == 1)
-        return inserted.select(
-            "url",
-            *[F.coalesce(F.col(f"_d_{c}"), F.lit(UNDEF)).alias(c)
-              for c in STATUS_COLS],
-            F.col("_d_run").alias("updated_run"))
-    j = base.join(per_url, "url", "full")
-    known = F.col("copied").isNotNull() | F.col("processed").isNotNull() \
-        | F.col("uploaded").isNotNull() | F.col("updated_run").isNotNull()
-    resolved = j.select(
+        return fresh_rows(per_url.where(F.col("_ins") == 1))
+    updated = base.join(per_url, "url", "left").select(
         "url",
         *[F.coalesce(F.col(f"_d_{c}"), F.col(c), F.lit(UNDEF)).alias(c)
           for c in STATUS_COLS],
         F.coalesce(F.col("_d_run"), F.col("updated_run"))
-         .alias("updated_run"),
-        (known | (F.col("_ins") == 1)).alias("_keep"))
-    return resolved.where(F.col("_keep")).drop("_keep")
+         .alias("updated_run"))
+    inserted = fresh_rows(
+        per_url.where(F.col("_ins") == 1)
+               .join(base.select("url"), "url", "left_anti"))
+    return updated.unionByName(inserted)
 
 
 def read_ledger(spark: SparkSession, workdir: str) -> DataFrame | None:
