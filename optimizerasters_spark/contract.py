@@ -1601,6 +1601,18 @@ def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         udf(F.col("lon_md"), F.col("lat_md")).alias("cell_udf"))
 
 
+def q_free_space_scan_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed two-phase prefix sum — must equal the simple global-
+    window form (same oracle), with no partition-less window over the
+    event relation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("cents", F.floor(F.col("value") * 100).cast("bigint"))
+    out = windows.cumulative_until_target_distributed(
+        ev, ["ts", "event_id"], "cents", target_num=1, target_den=10)
+    return out.select("event_id",
+                      F.col("cum_amount").cast("bigint").alias("cum_cents"))
+
+
 def q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostic: per-cell counts + floored-micro skew ratio (the
     three urban hot cells surface as ratio >= 10x median)."""
@@ -1619,7 +1631,9 @@ QUERIES.update({"til_finalize": q_til_finalize,
                 "rolling_fingerprint": q_rolling_fingerprint,
                 "cell_histogram": q_cell_histogram,
                 "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-                "cell_encode": q_cell_encode})
+                "cell_encode": q_cell_encode,
+                "free_space_scan_dist": q_free_space_scan_dist})
+ORACLES["free_space_scan_dist"] = ORACLES["free_space_scan"]
 ORACLES.update({
     "til_finalize": f"""
 WITH {FILES_CTE.strip()}, {LEDGER_CTE.strip()},

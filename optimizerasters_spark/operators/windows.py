@@ -35,6 +35,44 @@ def cumulative_until_target(events: DataFrame, order_cols: list[str],
             .drop("total_amount"))
 
 
+def cumulative_until_target_distributed(events: DataFrame,
+                                        order_cols: list[str],
+                                        amount_col: str, target_num: int,
+                                        target_den: int) -> DataFrame:
+    """Distributed form of ``cumulative_until_target`` — identical
+    rows, NO partition-less window.
+
+    Two-phase prefix sum: range-partition on the order columns, run the
+    running sum per partition (the window is partitioned by
+    spark_partition_id, so each partition sorts independently —
+    parallel), then add per-partition offsets computed from the tiny
+    totals table (O(#partitions) rows; its cumulative window is bounded
+    by the shuffle-partition count). The range Exchange feeds both the
+    local-cumsum branch and the totals branch, so Catalyst computes it
+    once (ReusedExchange). Use this when the ordered relation is large
+    (fleet-wide cache eviction across cache roots); the simple form
+    remains for the reference's one-cache-dir case."""
+    ordered = [F.col(c) for c in order_cols]
+    staged = (events.repartitionByRange(*ordered)
+              .withColumn("_pid", F.spark_partition_id()))
+    w_local = Window.partitionBy("_pid").orderBy(*ordered) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = staged.withColumn("_local_cum",
+                              F.sum(amount_col).over(w_local))
+    totals = staged.groupBy("_pid").agg(F.sum(amount_col).alias("_t"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding,
+                                               -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_t").over(Window.partitionBy()).alias("_total"))
+    return (local.join(F.broadcast(offsets), "_pid")
+            .withColumn("cum_amount", F.col("_off") + F.col("_local_cum"))
+            .where(F.col("cum_amount") * target_den <=
+                   F.col("_total") * target_num)
+            .drop("_pid", "_local_cum", "_off", "_total"))
+
+
 def apply_eviction(victims: DataFrame, path_col: str = "path") -> int:
     """A8 action: DELETE the selected victim files (CleanMRFCache.py
     :168-196 removes oldest-first until the space target is met; the

@@ -102,6 +102,28 @@ def test_pip_left_join_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1, plan
 
 
+def test_distributed_prefix_sum_no_global_window(spark, sf_dir):
+    """The distributed cumulative form's only partition-less windows run
+    over the tiny per-partition totals aggregate, never the event
+    relation, and the range Exchange is computed once (ReusedExchange)."""
+    from optimizerasters_spark.contract import q_free_space_scan_dist
+    df = q_free_space_scan_dist(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    # the big-relation window is partitioned by _pid (parallel)
+    assert "], [_pid" in final, final
+    # the only single-partition stage consumes the per-partition totals
+    # AGGREGATE (O(#partitions) rows), never the events relation
+    sp = final.find("Exchange SinglePartition")
+    assert sp != -1
+    nxt = final.find("Exchange", sp + 10)
+    segment = final[sp:nxt] if nxt != -1 else final[sp:]
+    assert "HashAggregate" in segment, final
+    assert "FileScan" not in segment, final
+
+
 def test_ivf_build_assignment_aggregates_not_windows(spark, sf_dir):
     """The IVF build-side nearest-centroid argmax must be a max_by
     aggregation (map-side combine collapses the K candidate rows per
