@@ -49,6 +49,9 @@ class JobConf:
     levels: list[int] = field(default_factory=lambda: [0, 4, 8])
     resume: str = "resume"          # or "retryall"
     output_prefix: str = "tiles"
+    # proxy payload codec: 'lerc' splits DataFile/IndexFile into
+    # .lrc/.idx in the manifest cache paths (UpdateMRF extensions_lup)
+    compression: str | None = "lerc"
     # fault injection for quarantine tests: pages with doc_id % N == 0
     # "fail" on their first attempt (None = no injection). Mirrors the
     # reference's failed-upload list + end-of-run retry pass
@@ -85,6 +88,9 @@ class Engine:
 
     def _til_out(self) -> str:
         return os.path.join(self.conf.workdir, "til_overviews")
+
+    def _proxy_csv_out(self) -> str:
+        return os.path.join(self.conf.workdir, "proxy_csv")
 
     # -- lifecycle ---------------------------------------------------------
     def run(self, spark: SparkSession,
@@ -153,7 +159,12 @@ class Engine:
             counts.write.mode("overwrite").parquet(self._tiles_out())
             m = manifest.tile_manifest(spark.read.parquet(self._tiles_out()),
                                        conf.output_prefix)
+            m = manifest.with_cache_paths(m, conf.output_prefix + "_cache",
+                                          compression=conf.compression)
             m.write.mode("overwrite").parquet(self._manifest_out())
+            # S13 ObjectID;Raster rows (dense ids, no global sort)
+            manifest.proxy_csv_rows(spark.read.parquet(self._manifest_out())) \
+                .write.mode("overwrite").parquet(self._proxy_csv_out())
             L.upsert_status(spark, conf.workdir, per_page.select("url"),
                             "uploaded", L.YES, self.run_id)
 
@@ -199,6 +210,7 @@ class Engine:
                                .dropDuplicates(["url", "polygon_id"]),
             "tile_counts": spark.read.parquet(self._tiles_out()),
             "manifest": spark.read.parquet(self._manifest_out()),
+            "proxy_csv": spark.read.parquet(self._proxy_csv_out()),
             "ledger": L.read_ledger(spark, conf.workdir),
         }
         try:

@@ -103,9 +103,16 @@ def test_determinism_across_workdirs(spark, sf_dir, tmp_path):
     cols = ["level", "tile_x", "tile_y", "page_count"]
     assert _sorted_rows(r1["tile_counts"], cols) == \
         _sorted_rows(r2["tile_counts"], cols)
-    mcols = ["tile_id", "page_count", "source_uri"]
+    mcols = ["tile_id", "page_count", "source_uri", "cache_path",
+             "data_file", "index_file"]
     assert _sorted_rows(r1["manifest"], mcols) == \
         _sorted_rows(r2["manifest"], mcols)
+    pcols = ["object_id", "csv_row"]
+    assert _sorted_rows(r1["proxy_csv"], pcols) == \
+        _sorted_rows(r2["proxy_csv"], pcols)
+    # dense contiguous ObjectIDs starting at 1
+    ids = sorted(r["object_id"] for r in r1["proxy_csv"].collect())
+    assert ids == list(range(1, len(ids) + 1))
 
 
 def test_partial_preseed_resume(spark, sf_dir, workdir):
