@@ -128,6 +128,67 @@ def test_auto_compaction_bounds_the_log(spark, wd, monkeypatch):
     assert all(st[f"u{i}"][1] == "yes" for i in range(5))
 
 
+def test_model_based_interleaving(spark, wd):
+    """Model-based check: a long interleaved sequence of init / merge /
+    upsert / compact / clear must resolve exactly to a Python-dict model
+    applying the same semantics (latest-wins per column, merge ignores
+    unknown keys, upsert inserts with '' defaults, clear resets, compact
+    is a no-op on state)."""
+    model: dict[str, list[str]] = {}
+
+    def m_init(ids):
+        model.clear()
+        for i in ids:
+            model[f"u{i}"] = ["", "", ""]
+
+    def m_set(ids, col, val, insert):
+        ci = ("copied", "processed", "uploaded").index(col)
+        for i in ids:
+            k = f"u{i}"
+            if k in model:
+                model[k][ci] = val
+            elif insert:
+                row = ["", "", ""]
+                row[ci] = val
+                model[k] = row
+
+    def m_clear():
+        for k in model:
+            model[k] = ["", "", ""]
+
+    ops = [
+        ("init", range(20)),
+        ("merge", range(5), "processed", "yes"),
+        ("upsert", range(18, 25), "copied", "yes"),
+        ("merge", range(30, 35), "uploaded", "no"),   # all unknown: no-op
+        ("merge", range(3, 8), "processed", "no"),    # overwrites 3,4
+        ("compact",),
+        ("upsert", range(22, 28), "processed", "yes"),
+        ("merge", range(20, 30), "uploaded", "yes"),  # known: 18..27 subset
+        ("clear",),
+        ("upsert", range(2), "copied", "no"),
+        ("merge", range(1, 3), "processed", "yes"),
+    ]
+    for n, op in enumerate(ops):
+        if op[0] == "init":
+            L.init_ledger(spark, wd, _keys(spark, op[1]))
+            m_init(op[1])
+        elif op[0] == "merge":
+            L.merge_status(spark, wd, _keys(spark, op[1]), op[2], op[3],
+                           f"r{n}")
+            m_set(op[1], op[2], op[3], insert=False)
+        elif op[0] == "upsert":
+            L.upsert_status(spark, wd, _keys(spark, op[1]), op[2], op[3],
+                            f"r{n}")
+            m_set(op[1], op[2], op[3], insert=True)
+        elif op[0] == "compact":
+            L.compact(spark, wd)
+        elif op[0] == "clear":
+            L.clear_statuses(spark, wd)
+            m_clear()
+    assert _state(spark, wd) == {k: tuple(v) for k, v in model.items()}
+
+
 def test_retryall_clears_statuses(spark, wd):
     L.init_ledger(spark, wd, _keys(spark, range(10)))
     L.upsert_status(spark, wd, _keys(spark, range(10)), "processed",
