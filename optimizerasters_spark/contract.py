@@ -1328,12 +1328,17 @@ def q_dir_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3: per-segment URL encoding with ':'-segment passthrough."""
+    """X3: per-segment URL encoding with ':'-segment passthrough. The
+    fixture covers the two Java-vs-Python divergent characters ('~'
+    kept, '*' -> %2A per the reference's quote_plus) alongside the
+    shared ones."""
     f = synth_files(spark, sf_dir)
-    seg = (F.when(F.col("doc_id") % 5 == 0, F.lit("a b"))
-            .when(F.col("doc_id") % 5 == 1, F.lit("c:d"))
-            .when(F.col("doc_id") % 5 == 2, F.lit("x&y"))
-            .when(F.col("doc_id") % 5 == 3, F.lit("100%"))
+    seg = (F.when(F.col("doc_id") % 7 == 0, F.lit("a b"))
+            .when(F.col("doc_id") % 7 == 1, F.lit("c:d"))
+            .when(F.col("doc_id") % 7 == 2, F.lit("x&y"))
+            .when(F.col("doc_id") % 7 == 3, F.lit("100%"))
+            .when(F.col("doc_id") % 7 == 4, F.lit("p~q"))
+            .when(F.col("doc_id") % 7 == 5, F.lit("r*s"))
             .otherwise(F.lit("m+n")))
     raw = F.concat(F.lit("out\\"), seg, F.lit("\\"), F.col("path"))
     return f.select(
@@ -1415,9 +1420,10 @@ WHERE len(string_split(deep_path, '/')) - 1 <= 3
 WITH {FILES_CTE.strip()},
 r AS (
   SELECT doc_id,
-    'out\\' || (CASE CAST(doc_id % 5 AS INT)
+    'out\\' || (CASE CAST(doc_id % 7 AS INT)
                 WHEN 0 THEN 'a b' WHEN 1 THEN 'c:d' WHEN 2 THEN 'x&y'
-                WHEN 3 THEN '100%' ELSE 'm+n' END)
+                WHEN 3 THEN '100%' WHEN 4 THEN 'p~q' WHEN 5 THEN 'r*s'
+                ELSE 'm+n' END)
      || '\\' || path AS raw
   FROM files)
 SELECT doc_id,
@@ -1425,8 +1431,9 @@ SELECT doc_id,
     list_transform(
       string_split(replace(raw, '\\', '/'), '/'),
       s -> CASE WHEN position(':' IN s) > 0 THEN s
-           ELSE replace(replace(replace(replace(s,
-                '%', '%25'), '&', '%26'), '+', '%2B'), ' ', '+') END),
+           ELSE replace(replace(replace(replace(replace(s,
+                '%', '%25'), '&', '%26'), '+', '%2B'), '*', '%2A'),
+                ' ', '+') END),
     '/') AS enc_path
 FROM r
 """,

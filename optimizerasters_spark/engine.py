@@ -138,7 +138,7 @@ class Engine:
         retry = pages.join(
             led_now.where(F.col("processed") == L.NO).select("url"),
             "url", "left_semi")
-        if retry.limit(1).count() > 0:
+        if not retry.isEmpty():
             with lineage.StageTimer(spark, conf.workdir, self.run_id,
                                     "retry") as st:
                 self._process_batch(spark, st.observe(retry),
@@ -186,10 +186,14 @@ class Engine:
             members = st.observe(members)
             complete = groups.til_complete_groups(
                 members, "til_group", "processed").select("til_group")
+            # overview stats group by the DECLARED membership (join on
+            # url), not a re-derivation of the group key from the url —
+            # a caller-supplied til_members whose grouping differs from
+            # the default URL formula must aggregate under ITS groups
             stats = (spark.read.parquet(self._pages_out())
                      .dropDuplicates(["url"])
-                     .select("url", til_group_col(),
-                             "tile_x", "tile_y")
+                     .select("url", "tile_x", "tile_y")
+                     .join(declared.select("url", "til_group"), "url")
                      .groupBy("til_group")
                      .agg(F.count(F.lit(1)).alias("member_count"),
                           F.countDistinct("tile_x", "tile_y")
@@ -201,7 +205,7 @@ class Engine:
                 fresh = overview.join(done, "til_group", "left_anti")
             except Exception:  # first run — no output yet
                 fresh = overview
-            if fresh.limit(1).count() > 0:
+            if not fresh.isEmpty():
                 fresh.withColumn("finalized_run", F.lit(self.run_id)) \
                     .write.mode("append").parquet(self._til_out())
 

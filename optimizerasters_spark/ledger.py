@@ -30,6 +30,19 @@ reference's 20 s whole-file rewrite. This version is merge-on-read:
 ``init_ledger`` and ``clear_statuses`` (retryall) intentionally rewrite
 the base — they are whole-table operations by definition and run once
 per job, not per batch.
+
+CONCURRENCY CONTRACT — single driver, single writer. The commit
+protocol makes each individual commit crash-safe and keeps READERS
+isolated, but it does not arbitrate between concurrent WRITERS:
+``_next_seq`` allocates by directory scan (two simultaneous writers can
+collide on seq and break latest-wins tiebreaks). This matches the
+reference exactly — one Application process owns its ``.orjob``
+(Report.write rewrites the whole file, OptimizeRasters.py:2068-2092).
+Multi-writer coordination is what a real table format's metastore
+provides; swapping ``ledger`` for Iceberg/Delta ``MERGE INTO`` lifts
+this limit without touching callers. Compaction is safe against the
+writer's own later commits: it folds exactly the delta commits it
+resolved and leaves newer ones in the log.
 """
 
 from __future__ import annotations
@@ -239,12 +252,17 @@ def clear_statuses(spark: SparkSession, workdir: str) -> None:
 def compact(spark: SparkSession, workdir: str) -> None:
     """Fold the delta log into a fresh base snapshot (Iceberg rewrite /
     Hudi compaction analog). Readers of the old version are unaffected —
-    the CURRENT pointer flips atomically after the new base lands."""
+    the CURRENT pointer flips atomically after the new base lands.
+
+    The folded delta set is pinned BEFORE resolving: only those commits
+    are dropped afterwards, so a commit landing between the resolve and
+    the drop survives in the log instead of being silently lost."""
+    folded = [os.path.basename(d) for _, d in _committed_deltas(workdir)]
     cur = read_ledger(spark, workdir)
     if cur is None:
         return
     _atomic_overwrite(cur, ledger_path(workdir))
-    _drop_deltas(workdir)
+    _drop_deltas(workdir, only=folded)
 
 
 def _maybe_compact(spark: SparkSession, workdir: str) -> None:
@@ -287,19 +305,23 @@ def _atomic_overwrite(df: DataFrame, path: str) -> None:
     os.replace(ptr_tmp, os.path.join(path, "CURRENT"))
 
 
-def _drop_deltas(workdir: str) -> None:
-    """Retire the delta log after its contents landed in a base snapshot.
-    Markers drop FIRST (readers instantly stop seeing the commit), then
-    the data dirs."""
+def _drop_deltas(workdir: str, only: list[str] | None = None) -> None:
+    """Retire delta commits after their contents landed in a base
+    snapshot. Markers drop FIRST (readers instantly stop seeing the
+    commit), then the data dirs. ``only`` restricts the drop to the
+    named commits (compaction passes the set it folded); None drops
+    everything (init/retryall whole-table rewrites)."""
     root = _delta_root(workdir)
     if not os.path.isdir(root):
         return
+    keep = None if only is None else set(only)
     for name in sorted(os.listdir(root)):
-        if name.startswith("_COMMITTED."):
+        if name.startswith("_COMMITTED.") and \
+                (keep is None or name[len("_COMMITTED."):] in keep):
             os.remove(os.path.join(root, name))
     for name in os.listdir(root):
         full = os.path.join(root, name)
-        if os.path.isdir(full):
+        if os.path.isdir(full) and (keep is None or name in keep):
             shutil.rmtree(full, ignore_errors=True)
 
 

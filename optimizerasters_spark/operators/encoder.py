@@ -82,8 +82,11 @@ class EncoderParams:
     def creation_options(self) -> dict[str, str]:
         """The -co key/value surface (for parity inspection/tests).
         Gating mirrors args_Callback (OptimizeRasters.py:3875-3999):
-        predictor only under PIXEL interleave; jpeg quality key is
-        QUALITY for MRF and COG, JPEG_QUALITY for GTiff (:3975-3981)."""
+        jpeg quality key is QUALITY for MRF and COG, JPEG_QUALITY for
+        GTiff (:3975-3981); the predictor / NBITS / YCBCR block is
+        NESTED inside the tif/cog branch there (:3958-3981), so MRF
+        outputs never emit them — only GTiff/COG do, and predictor
+        additionally requires PIXEL interleave."""
         co: dict[str, str] = {}
         comp = "lerc" if self.compression == "lerc2" else self.compression
         co["COMPRESS"] = comp
@@ -91,14 +94,15 @@ class EncoderParams:
             co["BIGTIFF"] = "YES"
         if self.tiled:
             co["TILED"] = "YES"
+        is_tif_family = self.out_format in ("GTiff", "COG")
         if comp == "jpeg":
             key = "JPEG_QUALITY" if self.out_format == "GTiff" else "QUALITY"
             co[key] = str(self.quality)
-            if self.nbits12:
+            if is_tif_family and self.nbits12:
                 co["NBITS"] = "12"
-            if self.ycbcr:
+            if is_tif_family and self.ycbcr:
                 co["PHOTOMETRIC"] = "YCBCR"
-        if self.compression in ("deflate", "lzw") and \
+        if is_tif_family and self.compression in ("deflate", "lzw") and \
                 self.interleave == "PIXEL":
             co["predictor"] = str(self.predictor)
         if self.options:

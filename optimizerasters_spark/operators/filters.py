@@ -121,13 +121,25 @@ def url_encode_segments(path: Column) -> Column:
     normalized, each '/'-segment URL-encoded (application/x-www-form-
     urlencoded, space -> '+'), except segments containing ':' which pass
     through verbatim (drive letters / scheme prefixes). All JVM-side:
-    transform() over the split array with the built-in url_encode."""
+    transform() over the split array with the built-in url_encode.
+
+    Spark's url_encode follows Java URLEncoder ('~' -> %7E, '*' kept
+    literal); the reference uses Python quote_plus (keeps '~', encodes
+    '*' -> %2A). The two divergent characters are post-fixed: '%7E' can
+    only come from a literal '~' (a source '%' is already '%25' by
+    then), and '%2A' introduces no new '*', so both rewrites are exact."""
     norm = F.regexp_replace(path, "\\\\", "/")
+
+    def enc(s):
+        e = F.url_encode(s)
+        e = F.replace(e, F.lit("%7E"), F.lit("~"))
+        return F.replace(e, F.lit("*"), F.lit("%2A"))
+
     return F.concat_ws(
         "/",
         F.transform(
             F.split(norm, "/"),
-            lambda s: F.when(s.contains(":"), s).otherwise(F.url_encode(s))))
+            lambda s: F.when(s.contains(":"), s).otherwise(enc(s))))
 
 
 def rewrite_output_extension(path: Column, mode: str,

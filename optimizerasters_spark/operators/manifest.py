@@ -69,29 +69,32 @@ def proxy_csv_rows(manifest: DataFrame, id_offset: int = 0,
     tile_id) — but WITHOUT a partition-less Window (which would sort the
     full manifest, billions of tiles at 100x, on one reducer).
 
-    Zip-with-index per partition instead: range-partition + sort within
-    partitions on tile_id, derive the within-partition row index from
-    ``monotonically_increasing_id`` (documented layout: pid * 2^33 +
-    local index), aggregate per-partition counts (O(#partitions) rows),
-    turn them into cumulative offsets, and broadcast-join the offsets
-    back. Global id = offset(pid) + local index. The only partition-less
-    window runs over the #partitions-row offsets table — bounded by the
-    shuffle-partition count, never by data volume.
+    Zip-with-index per partition instead: range-partition on tile_id,
+    stamp each row with its partition id, then ROW_NUMBER() windowed BY
+    PARTITION ID (each window partition = one range bucket, so the sort
+    is bucket-local, never global); aggregate per-partition counts
+    (O(#partitions) rows), turn them into cumulative offsets, and
+    broadcast-join the offsets back. Global id = offset(pid) + local
+    index. The only partition-less window runs over the #partitions-row
+    offsets table — bounded by the shuffle-partition count, never by
+    data volume. (An earlier version derived the local index from
+    monotonically_increasing_id's pid*2^33 bit layout — an
+    implementation detail of Spark, and silently wrong past 2^33 rows
+    per partition; row_number depends only on documented semantics.)
 
-    Both plan branches hang off the same range Exchange, which Catalyst
-    deduplicates (ReusedExchange) — the partition boundaries are computed
-    once, so pid assignments are consistent across branches
-    (tests/test_plans.py asserts the reuse)."""
+    pid stamping happens under the range Exchange, so the window's
+    re-shuffle on _pid redistributes CONSISTENT pids; the offsets branch
+    hangs off the same window output — one range exchange, one hash
+    exchange on the tile-manifest table (tiles, not pages)."""
     from pyspark.sql.window import Window
     staged = (manifest
               .repartitionByRange(*([num_partitions] if num_partitions
                                     else []), "tile_id")
-              .sortWithinPartitions("tile_id")
-              .withColumn("_mid", F.monotonically_increasing_id())
               .withColumn("_pid", F.spark_partition_id())
               .withColumn("_local",
-                          F.col("_mid") -
-                          (F.col("_pid").cast("bigint") * F.lit(1 << 33))))
+                          F.row_number().over(
+                              Window.partitionBy("_pid")
+                                    .orderBy("tile_id")) - 1))
     counts = staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

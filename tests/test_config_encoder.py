@@ -99,6 +99,12 @@ def test_encoder_deflate_predictor_and_meta():
     pb = encoder.resolve(Config(dict(Mode="tif_lzw", Predictor="2",
                                      Interleave="BAND")))
     assert "predictor" not in pb.creation_options()
+    # ...and on the tif/cog branch: the reference nests the predictor
+    # block inside the GTiff/COG path, so MRF outputs never emit it
+    pm = encoder.resolve(Config(dict(Mode="mrf", Compression="deflate",
+                                     Predictor="2")))
+    assert pm.out_format == "MRF"
+    assert "predictor" not in pm.creation_options()
     m = encoder.resolve(Config(dict(Mode="rasterproxy", Scale="3")),
                         meta=True)
     co = m.creation_options()

@@ -190,3 +190,24 @@ def test_quarantine_and_retry_pass(spark, sf_dir, tmp_path):
     out = res["page_tiles"]
     assert out.groupBy("url", "polygon_id").count() \
               .where(F.col("count") > 1).count() == 0
+
+
+def test_til_finalize_custom_membership_stats(spark, sf_dir, tmp_path):
+    """Overview stats must aggregate under the CALLER-DECLARED grouping
+    (join on url), not a re-derivation of the default URL formula — a
+    custom til_members is the documented purpose of the parameter
+    (ADVICE r02, engine.py til_finalize stage)."""
+    wd = str(tmp_path / "customtil")
+    pages = synth_pages(spark, sf_dir)
+    # grouping by doc_id % 5 differs from the default url-regex % 25
+    declared = pages.select("url",
+                            (F.col("doc_id") % 5).alias("til_group"))
+    eng = Engine(JobConf(sf_dir=sf_dir, workdir=wd))
+    res = eng.run(spark, pages=pages, til_members=declared)
+    ov = res["til_overviews"]
+    assert ov is not None
+    got = {r["til_group"]: r["member_count"] for r in ov.collect()}
+    expect = {r["til_group"]: r["n"]
+              for r in declared.groupBy("til_group")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == expect

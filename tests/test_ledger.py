@@ -197,3 +197,26 @@ def test_retryall_clears_statuses(spark, wd):
     st = _state(spark, wd)
     assert all(v == ("", "", "") for v in st.values())
     assert _n_delta_dirs(wd) == 0
+
+
+def test_compaction_spares_deltas_committed_mid_fold(spark, wd, monkeypatch):
+    """Compaction pins the delta set it resolved BEFORE folding; a commit
+    landing between the resolve and the drop must survive in the log and
+    stay visible to readers (the lost-delta race from ADVICE r02)."""
+    L.init_ledger(spark, wd, _keys(spark, range(10)))
+    L.merge_status(spark, wd, _keys(spark, range(5)), "processed",
+                   L.YES, "r1")
+    real = L._atomic_overwrite
+
+    def overwrite_then_commit_late(df, path):
+        real(df, path)
+        L._commit_delta(wd, L._delta_rows(_keys(spark, [7]), "uploaded",
+                                          L.NO, "late", False))
+
+    monkeypatch.setattr(L, "_atomic_overwrite", overwrite_then_commit_late)
+    L.compact(spark, wd)
+    monkeypatch.undo()
+    assert _n_delta_dirs(wd) == 1  # only the late commit remains
+    st = _state(spark, wd)
+    assert st["u7"] == ("", "", "no")  # late delta visible, not lost
+    assert st["u3"] == ("", "yes", "")  # folded state intact

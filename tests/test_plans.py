@@ -70,25 +70,28 @@ def test_top_tokens_uses_take_ordered(spark, sf_dir):
 
 
 def test_proxy_csv_no_global_window_over_manifest(spark, sf_dir):
-    """Dense id assignment must not globally sort the manifest: the only
-    partition-less Window allowed is over the per-partition counts table
-    (child = an Aggregate, O(#partitions) rows), and the range Exchange
-    feeding both branches must be computed once (ReusedExchange)."""
+    """Dense id assignment must not globally sort the manifest: the
+    manifest-sized window is partitioned by _pid (parallel), the only
+    single-partition stage consumes the per-partition counts AGGREGATE
+    (O(#partitions) rows), and the shared exchange under both branches
+    is computed once (ReusedExchange)."""
     from optimizerasters_spark.contract import q_proxy_csv
     df = q_proxy_csv(spark, sf_dir)
     df.collect()  # let AQE finalize so reuse shows in the executed plan
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed or "tableCacheQueryStage" \
-        in executed, executed
-    # the partition-less window's input subtree is the tiny _pid count
-    # aggregate (O(#partitions) rows), never the manifest relation: an
-    # Aggregate must sit between the Window and any parquet scan
-    plan = _plan(df)
-    win_idx = plan.find("Window")
-    assert win_idx != -1
-    scan_idx = plan.find("Scan parquet", win_idx)
-    segment = plan[win_idx:scan_idx] if scan_idx != -1 else plan[win_idx:]
-    assert "HashAggregate" in segment, plan
+    final = executed.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final or "tableCacheQueryStage" \
+        in final, final
+    # the big-relation window is partitioned by _pid, never global
+    assert "], [_pid" in final, final
+    # the only single-partition stage consumes the per-partition counts
+    # aggregate, never the manifest relation
+    sp = final.find("Exchange SinglePartition")
+    assert sp != -1
+    nxt = final.find("Exchange", sp + 10)
+    segment = final[sp:nxt] if nxt != -1 else final[sp:]
+    assert "HashAggregate" in segment, final
+    assert "FileScan" not in segment, final
 
 
 def test_pip_left_join_single_scan(spark, sf_dir):

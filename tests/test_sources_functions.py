@@ -112,3 +112,25 @@ def test_expand_tars(spark, tmp_path):
     assert ok[("b.tgz", "z.til")].startswith(b"filename")
     bad = out.where("NOT extract_ok").collect()
     assert len(bad) == 1 and bad[0]["archive"] == "broken.tgz"
+
+
+def test_url_encode_matches_python_quote_plus(spark):
+    """X3 parity with the reference's Python quote_plus semantics for
+    the characters where Java URLEncoder diverges: '~' stays literal,
+    '*' encodes to %2A (ADVICE r02). ':'-segments pass through."""
+    from urllib.parse import quote_plus
+
+    from optimizerasters_spark.operators import filters
+
+    segs = ["a b", "100%", "x&y", "m+n", "p~q", "r*s", "~*~", "caf\u00e9",
+            "plain", "dots.ok-_"]
+    paths = ["root\\" + s + "\\f.tif" for s in segs] + ["c:\\tmp\\a b.tif"]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = [r[0] for r in
+           df.select(filters.url_encode_segments(F.col("path"))).collect()]
+
+    def py_encode(p):
+        return "/".join(s if ":" in s else quote_plus(s)
+                        for s in p.replace("\\", "/").split("/"))
+
+    assert got == [py_encode(p) for p in paths]
