@@ -63,6 +63,11 @@ class JobConf:
     # scan/AQE. Costs one count job per batch when set, exactly like the
     # reference's len(list) chunk math.
     queue_length: int | None = None
+    # force the full-history finalize rebuild (cross-batch dedup + level-0
+    # recount from every batch dir ever written) instead of the default
+    # incremental merge of only-new batches. retryall implies it — cleared
+    # statuses re-emit already-counted pages, invalidating merge history.
+    repair: bool = False
 
 
 class Engine:
@@ -75,6 +80,9 @@ class Engine:
     def __init__(self, conf: JobConf):
         self.conf = conf
         self.run_id = uuid.uuid4().hex[:12]
+        # batch dirs the last finalize actually read (test/inspection
+        # hook for the incremental-cost claim)
+        self.last_finalize_inputs: list[str] = []
 
     # -- paths ------------------------------------------------------------
     def _pages_out(self) -> str:
@@ -91,6 +99,48 @@ class Engine:
 
     def _proxy_csv_out(self) -> str:
         return os.path.join(self.conf.workdir, "proxy_csv")
+
+    def _l0_out(self) -> str:
+        return os.path.join(self.conf.workdir, "tile_counts_l0")
+
+    # -- level-0 tile store ------------------------------------------------
+    # Versioned immutable snapshots behind a CURRENT pointer (same commit
+    # model as ledger._atomic_overwrite); each version carries the list of
+    # batch dirs folded into it as a `_merged_batches.txt` sidecar INSIDE
+    # the version dir, so counts and merge history commit atomically —
+    # a crash mid-finalize leaves the previous version current and the
+    # new batches simply re-merge next run.
+    def _batch_dirs(self) -> list[str]:
+        root = self._pages_out()
+        if not os.path.isdir(root):
+            return []
+        return sorted(n for n in os.listdir(root) if n.startswith("batch="))
+
+    def _read_l0(self, spark: SparkSession
+                 ) -> tuple[DataFrame | None, list[str]]:
+        ptr = os.path.join(self._l0_out(), "CURRENT")
+        if not os.path.exists(ptr):
+            return None, []
+        with open(ptr) as f:
+            vdir = os.path.join(self._l0_out(), f.read().strip())
+        with open(os.path.join(vdir, "_merged_batches.txt")) as f:
+            merged = [x for x in f.read().splitlines() if x]
+        return spark.read.parquet(vdir), merged
+
+    def _write_l0(self, l0: DataFrame, merged_batches: list[str]) -> None:
+        root = self._l0_out()
+        os.makedirs(root, exist_ok=True)
+        vname = f"v-{uuid.uuid4().hex[:12]}"
+        vdir = os.path.join(root, vname)
+        l0.write.mode("overwrite").parquet(vdir)
+        # sidecar lands before the pointer flip; '_'-prefixed files are
+        # invisible to parquet readers
+        with open(os.path.join(vdir, "_merged_batches.txt"), "w") as f:
+            f.write("\n".join(merged_batches))
+        ptr_tmp = os.path.join(root, f".CURRENT.tmp-{uuid.uuid4().hex[:6]}")
+        with open(ptr_tmp, "w") as f:
+            f.write(vname)
+        os.replace(ptr_tmp, os.path.join(root, "CURRENT"))
 
     # -- lifecycle ---------------------------------------------------------
     def run(self, spark: SparkSession,
@@ -145,17 +195,43 @@ class Engine:
                                     f"batch={self.run_id}-retry",
                                     timer=st)
 
-        # ---- stage "finalize": dedup + pyramids + manifest --------------
-        all_pages = spark.read.parquet(self._pages_out())
-        # exactly-once repair: a crash after write but before merge leaves
-        # duplicate (url, polygon_id) rows across batches — keep one.
-        all_pages = all_pages.dropDuplicates(["url", "polygon_id"])
+        # ---- stage "finalize": incremental pyramid merge + manifest -----
+        # Counts are ASSOCIATIVE: aggregate only batch dirs not yet folded
+        # into the persisted level-0 tile table and merge additively —
+        # a resume that processes 0.1 % of pages pays 0.1 % of the
+        # finalize, never a corpus-wide re-dedup (the round-2 shape read
+        # and double-deduplicated the ENTIRE historical output each run).
+        # Cross-batch duplicates can only live among UNMERGED batches
+        # (a page re-emits only when its ledger mark was lost, and a
+        # batch merges only after its marks land), so the (url,
+        # polygon_id) dedup within the unmerged set is exhaustive.
+        # repair=True / retryall / missing base fall back to the full
+        # rebuild over every batch dir.
+        l0_base, merged_batches = self._read_l0(spark)
+        batches = self._batch_dirs()
+        full_rebuild = (conf.repair or conf.resume == "retryall"
+                        or l0_base is None)
+        src = batches if full_rebuild \
+            else [b for b in batches if b not in merged_batches]
+        self.last_finalize_inputs = [
+            os.path.join(self._pages_out(), b) for b in src]
         with lineage.StageTimer(spark, conf.workdir, self.run_id,
                                 "finalize") as st:
-            all_pages = st.observe(all_pages)
             st.add_output_dir(self._tiles_out())
-            per_page = all_pages.dropDuplicates(["url"])
-            counts = spatial.tile_counts_at_levels(per_page, conf.levels)
+            if src:
+                fresh = (spark.read.parquet(*self.last_finalize_inputs)
+                         .dropDuplicates(["url", "polygon_id"])
+                         .dropDuplicates(["url"]))
+                fresh = st.observe(fresh)
+                delta_l0 = spatial.tile_counts_l0(fresh)
+                l0 = delta_l0 if full_rebuild \
+                    else spatial.merge_l0(l0_base, delta_l0)
+                self._write_l0(l0, batches if full_rebuild
+                               else merged_batches + src)
+                L.upsert_status(spark, conf.workdir, fresh.select("url"),
+                                "uploaded", L.YES, self.run_id)
+            counts = spatial.levels_from_l0(
+                self._read_l0(spark)[0], conf.levels)
             counts.write.mode("overwrite").parquet(self._tiles_out())
             m = manifest.tile_manifest(spark.read.parquet(self._tiles_out()),
                                        conf.output_prefix)
@@ -165,8 +241,6 @@ class Engine:
             # S13 ObjectID;Raster rows (dense ids, no global sort)
             manifest.proxy_csv_rows(spark.read.parquet(self._manifest_out())) \
                 .write.mode("overwrite").parquet(self._proxy_csv_out())
-            L.upsert_status(spark, conf.workdir, per_page.select("url"),
-                            "uploaded", L.YES, self.run_id)
 
         # ---- stage "til_finalize": gated group-level overviews ----------
         # A complete group (every member's ledger row 'yes') gets ONE

@@ -51,9 +51,29 @@ def tile_counts_at_levels(pages_with_tiles: DataFrame,
     gdaladdo's N-from-(N-1) iteration (OptimizeRasters.py:5060-5143) is
     semantically identical because counts are associative; a union of
     chained reductions would re-execute the shared prefix per branch."""
-    l0 = (pages_with_tiles
-          .groupBy("tile_x", "tile_y")
-          .agg(F.count(F.lit(1)).alias("page_count")))
+    return levels_from_l0(tile_counts_l0(pages_with_tiles), levels)
+
+
+def tile_counts_l0(pages_with_tiles: DataFrame) -> DataFrame:
+    """Level-0 tile counts — the ASSOCIATIVE base table: counts from
+    disjoint page batches merge additively (union + re-sum), which is
+    what makes the engine's finalize incremental."""
+    return (pages_with_tiles
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("page_count")))
+
+
+def merge_l0(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Additive merge of level-0 count tables (counts are associative).
+    Shuffle is proportional to the TILE table, never to pages."""
+    return (base.unionByName(delta)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.sum("page_count").alias("page_count")))
+
+
+def levels_from_l0(l0: DataFrame, levels: list[int]) -> DataFrame:
+    """Explode the (tiny) level-0 tile table across the level list and
+    re-aggregate with the per-level bit shift."""
     lv = F.explode(F.array(*[F.lit(int(x)) for x in sorted(levels)]))
     return (l0.select(lv.alias("level"), "tile_x", "tile_y", "page_count")
             .groupBy("level",
@@ -104,35 +124,38 @@ def pip_join(pages: DataFrame, boundaries: DataFrame,
                        (F.col("lon_md") < F.col("lon_hi_md")) &
                        (F.col("lat_md") >= F.col("lat_lo_md")) &
                        (F.col("lat_md") < F.col("lat_hi_md"))))
-    # left: SINGLE scan, single pass. Each page survives the left cover
-    # join with >= 1 candidate row; refinement marks hits. ONE aggregation
-    # per page collects the matched polygon ids (collect_list skips the
-    # null non-hits; map-side combine collapses the handful of colocated
-    # candidate rows per page before the shuffle) and an explode re-emits
-    # one row per match — or exactly one NULL row when the list is empty.
-    # The round-1 shape unioned a second full scan of `pages` behind an
-    # anti-join; a fork-above-the-scan variant still plans two scans
-    # because no exchange exists below the fork to reuse.
-    refined = cands.join(F.broadcast(boundaries), ["polygon_id"], "left") \
-        .withColumn(
-            "hit",
-            F.col("polygon_id").isNotNull() &
-            (F.col("lon_md") >= F.col("lon_lo_md")) &
-            (F.col("lon_md") < F.col("lon_hi_md")) &
-            (F.col("lat_md") >= F.col("lat_lo_md")) &
-            (F.col("lat_md") < F.col("lat_hi_md")))
-    others = [c for c in pages.columns if c != "doc_id"]
-    page_struct = F.struct(*[F.col(c) for c in others])
-    agg = refined.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(F.when(F.col("hit"), F.col("polygon_id"))))
-        .alias("_polys"),
-        F.any_value(page_struct).alias("_page"))
-    polys_or_null = F.when(F.size("_polys") > 0, F.col("_polys")) \
+    # left: ZERO page shuffle, single scan. The cover table pre-aggregates
+    # per cell into cell -> array<struct(polygon_id, bbox)> (one tiny
+    # Exchange on the DIMENSION side, under the broadcast), the pages
+    # join it 1:1 on cell — each page stays ONE row through the join —
+    # and refinement is a map-side filter() over the broadcast array;
+    # explode re-emits one row per match, or exactly one NULL row when
+    # no polygon refines. The round-2 shape recovered non-hits with a
+    # groupBy(doc_id) collect_list, which shuffled every page WITH its
+    # payload — the corpus text — once; this shape shuffles nothing on
+    # the pages side (mirror of the inner path's plan guarantee,
+    # asserted in tests/test_plans.py).
+    cell_polys = (cover.join(boundaries, "polygon_id")
+                  .groupBy("cell")
+                  .agg(F.sort_array(F.collect_list(F.struct(
+                      "polygon_id", "lon_lo_md", "lon_hi_md",
+                      "lat_lo_md", "lat_hi_md"))).alias("_cands")))
+    joined = pages.withColumn(
+        "cell",
+        tiling.pack_cell_col(F.floor(F.col("lon_md") / cell_md),
+                             F.floor(F.col("lat_md") / cell_md)),
+    ).join(F.broadcast(cell_polys), "cell", "left")
+    lon, lat = F.col("lon_md"), F.col("lat_md")
+    hits = F.transform(
+        F.filter(
+            "_cands",
+            lambda p: (lon >= p["lon_lo_md"]) & (lon < p["lon_hi_md"]) &
+                      (lat >= p["lat_lo_md"]) & (lat < p["lat_hi_md"])),
+        lambda p: p["polygon_id"])
+    polys_or_null = F.when(F.size(hits) > 0, hits) \
         .otherwise(F.array(F.lit(None).cast("bigint")))
-    return agg.select(
-        "doc_id",
-        *[F.col(f"_page.{c}").alias(c) for c in others],
+    return joined.select(
+        *pages.columns,
         F.explode(polys_or_null).alias("polygon_id"))
 
 

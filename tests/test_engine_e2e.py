@@ -211,3 +211,51 @@ def test_til_finalize_custom_membership_stats(spark, sf_dir, tmp_path):
               for r in declared.groupBy("til_group")
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == expect
+
+
+def test_incremental_finalize_reads_only_new_batches(spark, sf_dir, tmp_path):
+    """A resume run's finalize must read ONLY the batch dirs not yet
+    folded into the level-0 tile store (cost O(new batch), never a
+    corpus re-dedup), and the merged counts must equal both a
+    repair=True full rebuild and a from-scratch single run."""
+    wd = str(tmp_path / "incjob")
+    pages = synth_pages(spark, sf_dir)
+    half = pages.where(F.col("doc_id") % 2 == 0)
+
+    eng1 = Engine(JobConf(sf_dir=sf_dir, workdir=wd))
+    eng1.run(spark, pages=half)
+    assert eng1.last_finalize_inputs  # first run folds its own batch
+
+    eng2 = Engine(JobConf(sf_dir=sf_dir, workdir=wd))
+    res2 = eng2.run(spark, pages=pages)  # odd half is new work
+    # finalize read exactly this run's batch dirs — no historical ones
+    assert eng2.last_finalize_inputs
+    assert all(f"batch={eng2.run_id}" in p
+               for p in eng2.last_finalize_inputs), eng2.last_finalize_inputs
+    inc = sorted(map(tuple, res2["tile_counts"].collect()))
+
+    # repair mode re-reads every batch dir and must agree
+    eng3 = Engine(JobConf(sf_dir=sf_dir, workdir=wd, repair=True))
+    res3 = eng3.run(spark, pages=pages)
+    assert len(eng3.last_finalize_inputs) >= 2
+    assert sorted(map(tuple, res3["tile_counts"].collect())) == inc
+
+    # and a from-scratch run over the full input must agree too
+    engf = Engine(JobConf(sf_dir=sf_dir, workdir=str(tmp_path / "fresh")))
+    resf = engf.run(spark, pages=pages)
+    assert sorted(map(tuple, resf["tile_counts"].collect())) == inc
+
+
+def test_incremental_finalize_noop_when_nothing_new(spark, sf_dir, tmp_path):
+    """A resume with zero pending work must not re-read any batch dir."""
+    wd = str(tmp_path / "noopjob")
+    pages = synth_pages(spark, sf_dir)
+    eng1 = Engine(JobConf(sf_dir=sf_dir, workdir=wd))
+    res1 = eng1.run(spark, pages=pages)
+    before = sorted(map(tuple, res1["tile_counts"].collect()))
+    eng2 = Engine(JobConf(sf_dir=sf_dir, workdir=wd))
+    res2 = eng2.run(spark, pages=pages)
+    # the rerun's batch dir holds zero pages; only it may be re-read
+    assert all(f"batch={eng2.run_id}" in p
+               for p in eng2.last_finalize_inputs), eng2.last_finalize_inputs
+    assert sorted(map(tuple, res2["tile_counts"].collect())) == before

@@ -94,15 +94,29 @@ def test_proxy_csv_no_global_window_over_manifest(spark, sf_dir):
     assert "FileScan" not in segment, final
 
 
-def test_pip_left_join_single_scan(spark, sf_dir):
+def test_pip_left_join_single_scan_zero_page_shuffle(spark, sf_dir):
     """how='left' must scan the pages relation ONCE (the round-1 shape
-    re-scanned it for the lost-rows anti-join)."""
+    re-scanned it for the lost-rows anti-join) and shuffle NOTHING on
+    the pages side (the round-2 shape re-aggregated by doc_id, moving
+    every page's payload through an Exchange): the only hash Exchange
+    allowed is the per-cell cover aggregation inside the broadcast
+    subtree — mirror of the inner-path guarantee above."""
     p = synth_pages(spark, sf_dir)
     j = spatial.pip_join(p, synth_boundaries(spark), how="left")
     # simple mode prints each node once (formatted lists tree + details)
     plan = j._sc._jvm.PythonSQLUtils.explainString(
         j._jdf.queryExecution(), "simple")
     assert plan.count("FileScan parquet") == 1, plan
+    # no page re-aggregation: zero hash exchanges outside the broadcast
+    # subtree (tree print: probe side precedes the BroadcastExchange)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    ex, bc = plan.find("Exchange hashpartitioning"), \
+        plan.find("BroadcastExchange")
+    assert ex == -1 or (bc != -1 and ex > bc), plan
+    # the per-page collect_list re-aggregation is retired: any
+    # collect_list left lives inside the broadcast (cover) subtree
+    cl = plan.find("collect_list")
+    assert cl == -1 or (bc != -1 and cl > bc), plan
 
 
 def test_distributed_prefix_sum_no_global_window(spark, sf_dir):
