@@ -170,6 +170,130 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame,
                     F.col("vec_id").cast("bigint").alias("vec_id")))
 
 
+# ---------------------------------------------------------------------------
+# IVF index BUILD: distributed k-means over quantized integer vectors.
+#
+# The missing half of the IVF story (round-2 consumed given centroids).
+# Everything is INTEGER-exact so training is deterministic and
+# cross-engine oracle-checkable:
+#   * components quantize to micro-units with a +offset shift into the
+#     non-negative domain (squared-L2 distances are translation-
+#     invariant, and non-negative integer division truncates identically
+#     everywhere, so the centroid means match any engine bit-for-bit);
+#   * init is a hash-ordered sample (the K vectors with the smallest
+#     md5(vec_id)) — uniform-but-reproducible, TakeOrderedAndProject on
+#     the big side;
+#   * each Lloyd iteration is (a) assignment: broadcast centroids +
+#     min_by aggregation (ONE row per vector through the shuffle — same
+#     plan shape as ivf_assign), and (b) update: posexplode to
+#     (cent_id, dim) and re-aggregate — map-side partial combine
+#     collapses each task to K*dim rows, so the update shuffle is
+#     O(#tasks * K * dim), independent of N. Centroids (K*dim ints)
+#     hop through the driver between iterations exactly like MLlib's
+#     Lloyd loop — the one legitimate collect.
+# ---------------------------------------------------------------------------
+
+QUANT_OFFSET = 1_000_000  # valid for unit-scale embeddings (|x| < 1)
+
+
+def quantize_micro(vec: Column, offset: int = QUANT_OFFSET) -> Column:
+    """array<float> -> array<bigint> micro-units, shifted non-negative."""
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.floor(x * 1000000).cast("bigint") + F.lit(offset))
+
+
+def _dist2_int(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def kmeans_seeds(vectors: DataFrame, k: int, id_col: str = "vec_id",
+                 vec_col: str = "v") -> DataFrame:
+    """Deterministic sampled init: the k vectors with the smallest
+    md5(id). orderBy+limit compiles to per-partition heaps + driver
+    merge (TakeOrderedAndProject) — no global sort."""
+    key = F.md5(F.col(id_col).cast("string"))
+    seeds = vectors.orderBy(key, F.col(id_col)).limit(k)
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cent_id"),
+        F.col(vec_col).alias("cvec"))
+
+
+def kmeans_assign(vectors: DataFrame, cents: DataFrame,
+                  id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """Nearest centroid by integer squared L2 (ties -> lower cent_id):
+    broadcast centroids, min_by aggregation — the shuffle carries one
+    row per vector, never the N*K candidate rows."""
+    cand = (vectors.join(F.broadcast(cents))
+            .withColumn("dist2",
+                        _dist2_int(F.col(vec_col), F.col("cvec"))))
+    best = cand.groupBy(id_col).agg(
+        F.min_by(F.struct(F.col("cent_id"), F.col("dist2"),
+                          F.col(vec_col).alias("_v")),
+                 F.struct(F.col("dist2"), F.col("cent_id"))).alias("_b"))
+    return best.select(
+        id_col,
+        F.col("_b.cent_id").alias("cent_id"),
+        F.col("_b.dist2").alias("dist2"),
+        F.col("_b._v").alias(vec_col))
+
+
+def kmeans_update(assigned: DataFrame, cents: DataFrame,
+                  vec_col: str = "v") -> DataFrame:
+    """Component-wise integer mean per cluster: posexplode to
+    (cent_id, dim, comp), partial-aggregated sum/count (K*dim rows per
+    task through the shuffle), re-assembled with array_sort + transform.
+    Empty clusters keep their previous centroid."""
+    ex = assigned.select(
+        "cent_id", F.posexplode(F.col(vec_col)).alias("d", "comp"))
+    sums = ex.groupBy("cent_id", "d").agg(
+        F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+    upd = (sums.groupBy("cent_id")
+           .agg(F.array_sort(
+                F.collect_list(F.struct("d", "s", "n"))).alias("_c"))
+           .select("cent_id",
+                   # non-negative domain: div (truncation) == floor
+                   F.expr("transform(_c, t -> t.s div t.n)").alias("_new"),
+                   F.expr("_c[0].n").alias("_n")))
+    return (cents.join(upd, "cent_id", "left")
+            .select("cent_id",
+                    F.coalesce(F.col("_new"), F.col("cvec")).alias("cvec"),
+                    F.coalesce(F.col("_n"), F.lit(0)).cast("bigint")
+                     .alias("cluster_n")))
+
+
+def kmeans_train(vectors: DataFrame, k: int = 8, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """k-means over quantized vectors -> (cent_id, cvec, cluster_n),
+    where cluster_n is the membership count observed at the FINAL
+    update step (assignment under the previous iteration's centroids).
+    Centroids round-trip through the driver between iterations (K*dim
+    integers), keeping every iteration's job independent and the final
+    plan shallow."""
+    spark = vectors.sparkSession
+    cents = kmeans_seeds(vectors, k, id_col, vec_col)
+    rows = []
+    for _ in range(iters):
+        assigned = kmeans_assign(vectors, cents, id_col, vec_col)
+        rows = sorted(kmeans_update(assigned, cents, vec_col).collect(),
+                      key=lambda r: r["cent_id"])
+        cents = spark.createDataFrame(
+            [(r["cent_id"], r["cvec"]) for r in rows],
+            "cent_id INT, cvec ARRAY<BIGINT>")
+    return spark.createDataFrame(
+        [(r["cent_id"], r["cvec"], int(r["cluster_n"])) for r in rows],
+        "cent_id INT, cvec ARRAY<BIGINT>, cluster_n BIGINT")
+
+
+def dequantize_micro(cvec: Column, offset: int = QUANT_OFFSET) -> Column:
+    """Trained integer centroids -> double arrays for the cosine-space
+    IVF probe path (ivf_topk)."""
+    return F.transform(
+        cvec, lambda x: (x - F.lit(offset)).cast("double") / 1000000.0)
+
+
 def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame,
                     planes: list[list[float]], k: int = 5,
                     vec_col: str = "embedding") -> DataFrame:

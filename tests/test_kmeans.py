@@ -1,0 +1,90 @@
+"""IVF index BUILD: distributed k-means training — plan shape, planted-
+cluster recovery, and end-to-end ANN recall with TRAINED centroids
+(VERDICT r02 item 4: 'an index you can't build is half an index')."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimizerasters_spark.operators import similarity
+
+
+def _planted(spark, n_clusters=4, per_cluster=200, dim=16, spread=1000):
+    """Deterministic planted clusters in micro-unit space: centers far
+    apart (~0.5), points within +-spread micro-units (0.001)."""
+    ids = spark.range(n_clusters * per_cluster)
+    c = F.col("id") % n_clusters
+    comps = [
+        (((c + 1) * (d + 3) * 104729) % 1000000 - 500000)
+        + ((F.col("id") * 7919 + d * 13) % (2 * spread + 1) - spread)
+        for d in range(dim)
+    ]
+    return ids.select(
+        F.col("id").alias("vec_id"), c.alias("true_cluster"),
+        F.array(*[(x + 1000000).cast("bigint") for x in comps]).alias("v"))
+
+
+def test_kmeans_assignment_is_aggregation_not_window(spark):
+    v = _planted(spark).select("vec_id", "v")
+    seeds = similarity.kmeans_seeds(v, 4)
+    out = similarity.kmeans_assign(v, seeds)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "partial_min_by" in plan, plan
+    # the only Window is the K-row seed numbering inside the broadcast
+    # subtree — never one over the N*K candidate rows
+    w, bc = plan.find("Window"), plan.find("BroadcastExchange")
+    assert w == -1 or (bc != -1 and w > bc), plan
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """With k oversampled 2x vs the 4 planted clusters, training must
+    give every true cluster at least one dedicated centroid and a pure
+    assignment (every centroid's members share one true cluster).
+    Deterministic init -> not flaky."""
+    data = _planted(spark)
+    cents = similarity.kmeans_train(data.select("vec_id", "v"),
+                                    k=8, iters=3)
+    assigned = similarity.kmeans_assign(
+        data.select("vec_id", "v"), cents.select("cent_id", "cvec"))
+    joined = assigned.join(data.select("vec_id", "true_cluster"), "vec_id")
+    purity = (joined.groupBy("cent_id")
+              .agg(F.count_distinct("true_cluster").alias("nc"),
+                   F.first("true_cluster").alias("tc"),
+                   F.count(F.lit(1)).alias("n"))
+              .collect())
+    used = [r for r in purity if r["n"] > 0]
+    assert all(r["nc"] == 1 for r in used), purity
+    assert {r["tc"] for r in used} == {0, 1, 2, 3}
+    # trainer-reported sizes (membership at the final update step)
+    # account for every vector
+    trained = {r["cent_id"]: r["cluster_n"] for r in cents.collect()}
+    assert sum(trained.values()) == data.count()
+
+
+def test_ivf_recall_with_trained_centroids(spark, sf_dir):
+    """End-to-end ANN with TRAINED centroids: recall@5 vs brute-force
+    cosine is tunable by nprobe (the IVF contract), decent at nprobe=3,
+    and EXACT at nprobe=K — probing every list degrades gracefully to
+    the brute-force baseline. Deterministic pipeline -> pinned values."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select("vec_id",
+                 similarity.quantize_micro(F.col("embedding")).alias("v"))
+    cents = similarity.kmeans_train(v, k=8, iters=3)
+    c = cents.select(
+        "cent_id", similarity.dequantize_micro(F.col("cvec")).alias("cvec"))
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    x = {(r["query_id"], r["vec_id"])
+         for r in similarity.cosine_topk(e, q, k=5).collect()}
+
+    def recall(nprobe):
+        a = {(r["query_id"], r["vec_id"])
+             for r in similarity.ivf_topk(e, q, c, k=5,
+                                          nprobe=nprobe).collect()}
+        return len(a & x) / len(x)
+
+    r1, r3, r8 = recall(1), recall(3), recall(8)
+    assert r8 == 1.0, f"nprobe=K must equal brute force, got {r8}"
+    assert r3 >= 0.7, f"recall@5(nprobe=3) = {r3}"
+    assert r1 <= r3 <= r8, (r1, r3, r8)
