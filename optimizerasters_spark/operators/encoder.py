@@ -165,6 +165,9 @@ def resolve(conf: Config, n_bands: int = 3, meta: bool = False
     p.predictor = int(conf.get_value("Predictor", 1))
     p.interleave = str(conf.get_value("Interleave", "PIXEL")).upper()
     p.lerc_prec = conf.get_value("LERCPrecision")
+    # BuildPyramids template knob (createaOverview gate :5060-5072);
+    # proxy modes force it off below regardless
+    p.pyramids = get_boolean_value(conf.get_value("BuildPyramids", True))
 
     if full_mode in PROXY_MODES:
         p.out_format = "MRF"
