@@ -31,9 +31,9 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from optimizerasters_spark import contract
-    from optimizerasters_spark.operators import dedup, spatial
+    from optimizerasters_spark.operators import dedup, spatial, training
     from optimizerasters_spark.pages import (
-        synth_boundaries, synth_pages_scaled,
+        synth_boundaries, synth_docs_scaled, synth_pages_scaled,
     )
     from optimizerasters_spark.session import get_spark
 
@@ -83,6 +83,19 @@ def main() -> None:
 
     bench("flagship_e2e", flagship)
 
+    # second flagship: the LLM training-data pipeline (exact dedup ->
+    # MinHash LSH near-dup removal -> quality/lang gate -> rollup) over
+    # a replicated documents table seeded with exact AND near duplicates
+    docs_rep = int(os.environ.get("SPARK_GRAFT_REPLICATE_DOCS", "10"))
+    n_docs = synth_docs_scaled(spark, SF_DIR, docs_rep).count()
+
+    def training_flagship():
+        d = synth_docs_scaled(spark, SF_DIR, docs_rep)
+        (training.training_flagship_rollup(d)
+         .write.mode("overwrite").format("noop").save())
+
+    bench("training_flagship", training_flagship)
+
     only = os.environ.get("SPARK_GRAFT_ONLY", "")
     qnames = [] if only == "flagship" else [
         "tile_assign", "tile_counts_pyramid", "pip_join",
@@ -107,8 +120,14 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "flagship_sec": timings["flagship_e2e"],
         "flagship_sec_median": medians["flagship_e2e"],
+        "training_flagship_sec": timings["training_flagship"],
+        "training_flagship_sec_median": medians["training_flagship"],
+        "training_docs": n_docs,
+        "training_docs_per_sec": round(
+            n_docs / timings["training_flagship"], 1),
         "pages": n_pages,
         "replicate": REPLICATE,
+        "replicate_docs": docs_rep,
         "cpus": int(CPUS),
     }
     print(json.dumps(out))

@@ -1930,6 +1930,92 @@ FROM c2 CROSS JOIN generate_series(1, 64) g(d)
 
 
 # ---------------------------------------------------------------------------
+# Batch 15 (round 3): the training-data flagship pipeline
+# ---------------------------------------------------------------------------
+
+def q_training_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup -> MinHash-LSH near-dup removal (Jaccard-verified) ->
+    quality/lang gate -> per-language rollup: the four LLM-corpus stages
+    composed end to end, oracle-checked as ONE pipeline (each stage is
+    also individually gated: dedup_exact, minhash_lsh_pairs,
+    ngram_jaccard, quality_score, lang_id)."""
+    from optimizerasters_spark.operators import training
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return training.training_flagship_rollup(d)
+
+
+QUERIES.update({"training_flagship": q_training_flagship})
+
+ORACLES.update({
+    "training_flagship": """
+WITH reps AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                              ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM reps),
+sh AS (SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, GREATEST(len(t) - 3, 0)),
+           i -> array_to_string(t[i+1:i+3], ' '))) AS s
+       FROM tk),
+sig AS (SELECT doc_id,
+          list_transform(generate_series(0, 7),
+            i -> list_min(list_transform(s,
+                   x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS g
+        FROM sh),
+banded AS (
+  SELECT doc_id, b.band_id,
+         array_to_string(g[b.band_id*2+1:b.band_id*2+2], '|') AS band_key
+  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN ex ea ON ea.doc_id = p.doc_a
+  JOIN ex eb ON eb.doc_id = p.doc_b AND eb.sng = ea.sng
+  GROUP BY 1, 2),
+victims AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE FLOOR(i.n_inter * 1000000 /
+              (sa.n_sh + sb.n_sh - i.n_inter)) >= 500000),
+g AS (
+  SELECT lang,
+    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+    CAST(FLOOR(length(text) * 1000000 /
+         GREATEST(len(string_split(lower(text), ' ')), 1)) AS BIGINT)
+      AS mwl,
+    CAST(FLOOR(len(list_filter(string_split(lower(text), ' '),
+         x -> x IN ('the','a','and','of','to','in','is','for','on',
+                    'with'))) * 1000000 /
+         GREATEST(len(string_split(lower(text), ' ')), 1)) AS BIGINT)
+      AS en_micro,
+    CAST(length(text) AS BIGINT) AS n_chars_c
+  FROM reps
+  WHERE doc_id NOT IN (SELECT doc_id FROM victims))
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars_c) AS BIGINT) AS total_chars,
+       CAST(SUM(en_micro) AS BIGINT) AS sum_en_micro
+FROM g
+WHERE n_tokens >= 5 AND mwl <= 12000000
+GROUP BY lang
+""",
+})
+
+
+# ---------------------------------------------------------------------------
 # Gate-window ordering (keep this block LAST in the module)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate evaluates the first 50 registered queries

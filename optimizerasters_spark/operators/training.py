@@ -1,0 +1,71 @@
+"""The training-data flagship pipeline: the four LLM-corpus stages
+composed end to end over the documents table —
+
+    exact dedup (sha256 groupBy, keep min doc_id)
+      -> near-dup removal (MinHash LSH candidates, exact n-gram Jaccard
+         verify, drop the higher doc_id of every confirmed pair)
+      -> quality / language gate (token count, mean word length,
+         stopword-ratio lang score — integer micro-units)
+      -> per-language token/byte rollup
+
+Every stage is built-in column functions (JVM-side); the only shuffles
+are the three natural keys (content hash, LSH band bucket, lang), all
+uniform. The LSH bucket join is the one spot with data-dependent skew —
+exactly the duplicate families the stage exists to find; its cost is
+bounded by candidate count, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from optimizerasters_spark.operators import dedup as D
+from optimizerasters_spark.operators import text as T
+
+JACCARD_MICRO = 500000       # near-dup verify threshold (0.5)
+MIN_TOKENS = 5               # quality gate: minimum whitespace tokens
+MAX_MEAN_WL_MICRO = 12_000_000   # ... and mean word length <= 12 chars
+
+
+def training_kept(docs: DataFrame,
+                  jaccard_micro: int = JACCARD_MICRO,
+                  min_tokens: int = MIN_TOKENS,
+                  max_mean_wl_micro: int = MAX_MEAN_WL_MICRO) -> DataFrame:
+    """Documents surviving dedup + near-dup removal + the quality gate,
+    with the gate features attached."""
+    reps = docs.join(D.dedup_exact(docs).select("doc_id"),
+                     "doc_id", "left_semi")
+    victims = (D.ngram_jaccard_pairs(reps,
+                                     min_jaccard_micro=jaccard_micro)
+               .select(F.col("doc_b").alias("doc_id")).distinct())
+    kept = reps.join(victims, "doc_id", "left_anti")
+    toks = T.tokens_col("text")
+    n_toks = F.size(toks).cast("bigint")
+    mean_wl = F.floor(F.length(F.col("text")) * T.MICRO /
+                      F.greatest(n_toks, F.lit(1))).cast("bigint")
+    gated = (kept
+             .withColumn("n_tokens", n_toks)
+             .withColumn("mean_word_len_micro", mean_wl)
+             .withColumn("en_score_micro", T.stopword_ratio_col("text"))
+             .where((F.col("n_tokens") >= min_tokens) &
+                    (F.col("mean_word_len_micro") <= max_mean_wl_micro)))
+    return gated
+
+
+def training_flagship_rollup(docs: DataFrame,
+                             jaccard_micro: int = JACCARD_MICRO,
+                             min_tokens: int = MIN_TOKENS,
+                             max_mean_wl_micro: int = MAX_MEAN_WL_MICRO
+                             ) -> DataFrame:
+    """Per-language corpus stats over the kept set — the pipeline's
+    one-small-table answer (what a 100 TB run ships to the trainer's
+    manifest)."""
+    kept = training_kept(docs, jaccard_micro, min_tokens,
+                         max_mean_wl_micro)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.sum(F.length(F.col("text"))).cast("bigint")
+                  .alias("total_chars"),
+                 F.sum("en_score_micro").cast("bigint")
+                  .alias("sum_en_micro")))

@@ -47,6 +47,29 @@ def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _derive_pages(load_documents(spark, sf_dir))
 
 
+def synth_docs_scaled(spark: SparkSession, sf_dir: str,
+                      factor: int) -> DataFrame:
+    """Bench-scale documents with a REALISTIC duplicate mix per family
+    of ``factor`` replicas: replica 0 is the original, odd replicas are
+    byte-exact copies (exercise the sha256 dedup), even replicas append
+    a one-token suffix (near-dups for the LSH stage to find and the
+    Jaccard verify to confirm). spark.range + broadcast dim — natively
+    parallel, no small-file bottleneck."""
+    d = load_documents(spark, sf_dir)
+    n = d.count()
+    base = spark.range(n * factor).select(
+        F.col("id").alias("new_id"), (F.col("id") % n).alias("doc_id"))
+    joined = (base.join(F.broadcast(d), "doc_id").drop("doc_id")
+              .withColumnRenamed("new_id", "doc_id"))
+    replica = F.floor(F.col("doc_id") / n).cast("bigint")
+    return joined.withColumn(
+        "text",
+        F.when((replica > 0) & (replica % 2 == 0),
+               F.concat(F.col("text"), F.lit(" r"),
+                        replica.cast("string")))
+         .otherwise(F.col("text")))
+
+
 def synth_pages_scaled(spark: SparkSession, sf_dir: str,
                        factor: int) -> DataFrame:
     """Bench-scale pages: ``factor`` deterministic replicas per document.
