@@ -285,6 +285,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via a window partitioned by nation — parallelism
+    is capped at #groups (25 here). Fine when groups are few and fat;
+    for millions of tiny groups the same shape holds (per-group rows are
+    small), and for few HUGE groups the salted two-phase top-k in
+    operators/skew.py is the swap-in."""
     from pyspark.sql.window import Window
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
