@@ -1949,7 +1949,28 @@ def q_training_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.training_flagship_rollup(d)
 
 
-QUERIES.update({"training_flagship": q_training_flagship})
+def q_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof per-group top-k (two-phase salted windows) — must
+    return exactly what the plain per-group window returns, so it
+    shares top_customers_per_nation's oracle."""
+    from optimizerasters_spark.operators import skew
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (o.withColumn("cents", F.floor(F.col("o_totalprice") * 100)
+                        .cast("bigint"))
+           .groupBy("o_custkey").agg(F.sum("cents").alias("revenue_cents")))
+    j = (rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    out = skew.salted_topk_per_group(
+        j, ["n_name"], "revenue_cents", "c_custkey", k=3)
+    return out.select("n_name", F.col("rnk").cast("int").alias("rnk"),
+                      "c_custkey", "revenue_cents")
+
+
+QUERIES.update({"training_flagship": q_training_flagship,
+                "salted_topk": q_salted_topk})
+ORACLES["salted_topk"] = ORACLES["top_customers_per_nation"]
 
 ORACLES.update({
     "training_flagship": """
@@ -2035,7 +2056,7 @@ GATE_PRIORITY = [
     "rolling_fingerprint", "cell_histogram", "embedding_near_dup_lsh",
     "cell_encode", "free_space_scan_dist",
     # round-3 additions (registered above if implemented)
-    "ivf_train", "kmeans_assign", "training_flagship", "pip_cover_cells",
+    "ivf_train", "kmeans_assign", "training_flagship", "salted_topk",
     # veterans whose implementation changed this round — re-verify first
     "pip_join_left", "proxy_csv", "tile_manifest", "free_space_scan",
     "pip_join",

@@ -75,6 +75,31 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     return b.join(s, [key, "salt"]).drop("salt")
 
 
+def salted_topk_per_group(df: DataFrame, group_cols: list[str],
+                          order_col: str, tiebreak_col: str, k: int,
+                          nsalt: int = 16) -> DataFrame:
+    """Per-group top-k that survives a few HUGE groups: phase 1 ranks
+    within (group, salt) and keeps each salt bucket's local top-k (a
+    group's global top-k is always a subset of the union of its per-salt
+    top-ks), phase 2 ranks the surviving k*nsalt rows per group. The
+    single-window-per-group form sorts a hot group's entire row set on
+    one reducer; here no task ever sorts more than a salt bucket, and
+    phase 2 sees at most k*nsalt rows per group. Identical results to
+    the plain window (descending order, ties -> ascending tiebreak)."""
+    from pyspark.sql.window import Window
+    salted = df.withColumn(
+        "salt",
+        F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(nsalt)).cast("int"))
+    w1 = Window.partitionBy(*group_cols, "salt").orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc())
+    local = (salted.withColumn("_r1", F.row_number().over(w1))
+             .where(F.col("_r1") <= k).drop("_r1", "salt"))
+    w2 = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc())
+    return (local.withColumn("rnk", F.row_number().over(w2))
+            .where(F.col("rnk") <= k))
+
+
 def cell_histogram(pages_with_tiles: DataFrame,
                    cell_cols: list[str] | None = None) -> DataFrame:
     """Skew diagnostic: per-cell counts + global skew ratio.
