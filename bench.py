@@ -83,20 +83,23 @@ def main() -> None:
 
     bench("flagship_e2e", flagship)
 
+    only = os.environ.get("SPARK_GRAFT_ONLY", "")
+
     # second flagship: the LLM training-data pipeline (exact dedup ->
     # MinHash LSH near-dup removal -> quality/lang gate -> rollup) over
     # a replicated documents table seeded with exact AND near duplicates
     docs_rep = int(os.environ.get("SPARK_GRAFT_REPLICATE_DOCS", "10"))
-    n_docs = synth_docs_scaled(spark, SF_DIR, docs_rep).count()
+    n_docs = 0
+    if only != "flagship":
+        n_docs = synth_docs_scaled(spark, SF_DIR, docs_rep).count()
 
-    def training_flagship():
-        d = synth_docs_scaled(spark, SF_DIR, docs_rep)
-        (training.training_flagship_rollup(d)
-         .write.mode("overwrite").format("noop").save())
+        def training_flagship():
+            d = synth_docs_scaled(spark, SF_DIR, docs_rep)
+            (training.training_flagship_rollup(d)
+             .write.mode("overwrite").format("noop").save())
 
-    bench("training_flagship", training_flagship)
+        bench("training_flagship", training_flagship)
 
-    only = os.environ.get("SPARK_GRAFT_ONLY", "")
     qnames = [] if only == "flagship" else [
         "tile_assign", "tile_counts_pyramid", "pip_join",
         "knn_per_cell", "dedup_latest", "minhash_lsh_pairs",
@@ -120,11 +123,12 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "flagship_sec": timings["flagship_e2e"],
         "flagship_sec_median": medians["flagship_e2e"],
-        "training_flagship_sec": timings["training_flagship"],
-        "training_flagship_sec_median": medians["training_flagship"],
+        "training_flagship_sec": timings.get("training_flagship"),
+        "training_flagship_sec_median": medians.get("training_flagship"),
         "training_docs": n_docs,
         "training_docs_per_sec": round(
-            n_docs / timings["training_flagship"], 1),
+            n_docs / timings["training_flagship"], 1)
+        if "training_flagship" in timings else None,
         "pages": n_pages,
         "replicate": REPLICATE,
         "replicate_docs": docs_rep,

@@ -260,25 +260,31 @@ class Engine:
             members = st.observe(members)
             complete = groups.til_complete_groups(
                 members, "til_group", "processed").select("til_group")
+            # resume anti-join runs BEFORE the stats aggregation: only
+            # groups RELEASING THIS RUN (complete and not yet written)
+            # send member rows through the shuffle — a steady-state
+            # resume shuffles ~nothing instead of re-aggregating every
+            # group's full history each run
+            try:
+                done = spark.read.parquet(self._til_out()) \
+                    .select("til_group").dropDuplicates(["til_group"])
+                releasing = complete.join(done, "til_group", "left_anti")
+            except Exception:  # first run — no output yet
+                releasing = complete
             # overview stats group by the DECLARED membership (join on
             # url), not a re-derivation of the group key from the url —
             # a caller-supplied til_members whose grouping differs from
             # the default URL formula must aggregate under ITS groups
-            stats = (spark.read.parquet(self._pages_out())
+            release_members = declared.select("url", "til_group") \
+                .join(releasing, "til_group", "left_semi")
+            fresh = (spark.read.parquet(self._pages_out())
                      .dropDuplicates(["url"])
                      .select("url", "tile_x", "tile_y")
-                     .join(declared.select("url", "til_group"), "url")
+                     .join(release_members, "url")
                      .groupBy("til_group")
                      .agg(F.count(F.lit(1)).alias("member_count"),
                           F.countDistinct("tile_x", "tile_y")
                            .alias("n_tiles")))
-            overview = stats.join(complete, "til_group", "left_semi")
-            try:
-                done = spark.read.parquet(self._til_out()) \
-                    .select("til_group").dropDuplicates(["til_group"])
-                fresh = overview.join(done, "til_group", "left_anti")
-            except Exception:  # first run — no output yet
-                fresh = overview
             if not fresh.isEmpty():
                 fresh.withColumn("finalized_run", F.lit(self.run_id)) \
                     .write.mode("append").parquet(self._til_out())

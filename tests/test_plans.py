@@ -220,3 +220,22 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     assert j.count() > 0
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_salted_topk_phase1_partitions_by_salt(spark, sf_dir):
+    """The skew-proof per-group top-k must rank phase 1 within
+    (group, salt) — no task ever sorts a full hot group — and phase 2's
+    per-group window only sees the k*nsalt survivors."""
+    from optimizerasters_spark.operators import skew
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"))
+    out = skew.salted_topk_per_group(df, ["user_id"], "cents",
+                                     "event_id", k=3, nsalt=8)
+    plan = _plan(out)
+    w1 = plan.find("Window")
+    assert w1 != -1
+    # first (inner) window in formatted output is printed LAST in the
+    # details; assert a window spec partitioned by [user_id, salt]
+    assert "salt" in plan[plan.find("Arguments", w1):], plan
+    assert plan.count("Window") >= 2 or "row_number" in plan, plan

@@ -19,6 +19,11 @@ def _proxy_csv_plan(spark, sf, plan):
     return plan(q_proxy_csv(spark, sf))
 
 
+def _kmeans_assign_plan(spark, sf, plan):
+    from optimizerasters_spark.contract import q_kmeans_assign
+    return plan(q_kmeans_assign(spark, sf))
+
+
 def main():
     spark = get_spark('plans', master='local[4]', shuffle_partitions='8')
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,8 +45,9 @@ def main():
          plan(spatial.tile_counts_at_levels(spatial.with_tiles(p), [0, 4, 8]))),
         ("Dedup latest-per-url (partial_max_by map-side combine, no Window)",
          plan(dedup.dedup_latest(p.select("url", "doc_id", "warc_epoch")))),
-        ("Left PIP join (SINGLE pages scan; lost rows recovered by one "
-         "aggregation over the candidate stream)",
+        ("Left PIP join (SINGLE pages scan, ZERO page-side shuffle: "
+         "per-cell polygon arrays broadcast, map-side filter + "
+         "explode-or-null)",
          plan(spatial.pip_join(p, synth_boundaries(spark), how="left")
               .select("doc_id", "polygon_id"))),
         ("Corpus top-k (TakeOrderedAndProject — per-partition heaps, "
@@ -50,6 +56,9 @@ def main():
         ("Proxy CSV dense ids (partition-offset zip-with-index; the only "
          "partition-less Window is over the O(#partitions) counts table)",
          _proxy_csv_plan(spark, sf, plan)),
+        ("k-means assignment (broadcast centroids + partial_min_by — one "
+         "row per vector through the shuffle, never N*K)",
+         _kmeans_assign_plan(spark, sf, plan)),
     ]
     out = ['# PLANS — captured physical plans (`.explain("formatted")`)', "",
            "Generated against sf0.001; regenerate with `python tools_plans.py`.",
