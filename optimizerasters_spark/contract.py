@@ -1968,9 +1968,33 @@ def q_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "c_custkey", "revenue_cents")
 
 
+def q_pip_join_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 beyond half-open boxes: exact containment in convex integer-
+    vertex polygons (all-edges cross-product, pure Catalyst forall) —
+    same broadcast-cover shape, pages still never shuffle."""
+    from optimizerasters_spark.pages import synth_convex_polys
+    p = synth_pages(spark, sf_dir)
+    out = spatial.pip_join_convex(p, synth_convex_polys(spark))
+    return out.select("doc_id", "polygon_id")
+
+
 QUERIES.update({"training_flagship": q_training_flagship,
-                "salted_topk": q_salted_topk})
+                "salted_topk": q_salted_topk,
+                "pip_join_convex": q_pip_join_convex})
 ORACLES["salted_topk"] = ORACLES["top_customers_per_nation"]
+
+from optimizerasters_spark.pages import HEX_POLYS_CTE  # noqa: E402
+
+ORACLES["pip_join_convex"] = f"""
+{_W},
+{HEX_POLYS_CTE.strip()}
+SELECT p.doc_id, q.polygon_id
+FROM pages p JOIN hexpolys q
+  ON len(list_filter(generate_series(1, 6),
+       k -> ((q.v[(k % 6) + 1].x - q.v[k].x) * (p.lat_md - q.v[k].y)
+           - (q.v[(k % 6) + 1].y - q.v[k].y) * (p.lon_md - q.v[k].x))
+           >= 0)) = 6
+"""
 
 ORACLES.update({
     "training_flagship": """
@@ -2057,6 +2081,7 @@ GATE_PRIORITY = [
     "cell_encode", "free_space_scan_dist",
     # round-3 additions (registered above if implemented)
     "ivf_train", "kmeans_assign", "training_flagship", "salted_topk",
+    "pip_join_convex",
     # veterans whose implementation changed this round — re-verify first
     "pip_join_left", "proxy_csv", "tile_manifest", "free_space_scan",
     "pip_join",

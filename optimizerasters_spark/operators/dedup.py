@@ -138,19 +138,13 @@ def ngram_jaccard_pairs(docs: DataFrame, num_hashes: int = 8,
                     "jaccard_micro"))
 
 
-def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
-                        shingle_n: int = 3,
-                        text_col: str = "text",
-                        shingles: DataFrame | None = None) -> DataFrame:
-    """Near-dup candidate pairs (doc_a < doc_b) sharing >= 1 LSH band.
-
-    bands of rows_per_band hashes each; band key = concat of its hashes.
-    The band explode shuffles on (band_id, band_key) — uniform unless
-    true near-dups exist, which is exactly the skew we want to find."""
+def _banded_signatures(docs: DataFrame, num_hashes: int, bands: int,
+                       shingle_n: int, text_col: str,
+                       shingles: DataFrame | None) -> DataFrame:
     rpb = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n, text_col,
                               shingles=shingles)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -160,6 +154,33 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
                     F.concat_ws("|", F.slice(F.col("sig"), b * rpb + 1, rpb))
                      .alias("band_key")))).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
+                        shingle_n: int = 3,
+                        text_col: str = "text",
+                        shingles: DataFrame | None = None,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b) sharing >= 1 LSH band.
+
+    bands of rows_per_band hashes each; band key = concat of its hashes.
+    The band explode shuffles on (band_id, band_key) — uniform unless
+    true near-dups exist, which is exactly the skew we want to find.
+
+    ``max_bucket`` guards the quadratic trap at corpus scale: a
+    degenerate key (empty docs, boilerplate-only pages) can put millions
+    of documents in ONE bucket, and the self-join then emits n^2 pairs.
+    Buckets larger than the cap are excluded from pairing (a bucket-
+    partitioned count — the same exchange the self-join needs anyway).
+    The cap is opt-in and NEVER silent: ``lsh_oversized_buckets`` with
+    the same arguments returns exactly what was dropped for reporting."""
+    banded = _banded_signatures(docs, num_hashes, bands, shingle_n,
+                                text_col, shingles)
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        banded = (banded
+                  .withColumn("_bn", F.count(F.lit(1)).over(w))
+                  .where(F.col("_bn") <= max_bucket).drop("_bn"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, ["band_id", "band_key"])
@@ -167,3 +188,18 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+
+
+def lsh_oversized_buckets(docs: DataFrame, num_hashes: int = 8,
+                          bands: int = 4, shingle_n: int = 3,
+                          text_col: str = "text",
+                          shingles: DataFrame | None = None,
+                          max_bucket: int = 1000) -> DataFrame:
+    """The buckets a ``max_bucket`` cap would drop — (band_id, band_key,
+    n_docs). Report or route these to a dedicated handling pass (exact
+    dedup already catches byte-identical members); never cap silently."""
+    banded = _banded_signatures(docs, num_hashes, bands, shingle_n,
+                                text_col, shingles)
+    return (banded.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") > max_bucket))

@@ -175,6 +175,41 @@ def synth_boundaries(spark: SparkSession) -> DataFrame:
     )
 
 
+# Convex integer hexagons for the exact-PIP join: vertex = center +
+# offset * radius with a fixed CCW offset ring — integer coordinates, so
+# the cross-product containment test is exact on any engine.
+HEX_OFFSETS = [(2, 0), (1, 2), (-1, 2), (-2, 0), (-1, -2), (1, -2)]
+N_HEX = 40
+
+
+def synth_convex_polys(spark: SparkSession) -> DataFrame:
+    p = spark.range(N_HEX).select(
+        F.col("id").cast("bigint").alias("polygon_id"),
+        ((F.col("id") % 8) * 45000 + 20000).cast("bigint").alias("cx"),
+        (F.floor(F.col("id") / 8).cast("bigint") * 34000 + 17000)
+            .alias("cy"),
+        (3000 + (F.col("id") % 5) * 1500).cast("bigint").alias("r"))
+    verts = F.array(*[
+        F.struct((F.col("cx") + ox * F.col("r")).cast("bigint").alias("x"),
+                 (F.col("cy") + oy * F.col("r")).cast("bigint").alias("y"))
+        for ox, oy in HEX_OFFSETS])
+    return p.select("polygon_id", verts.alias("vertices"))
+
+
+HEX_POLYS_CTE = """
+hexpolys AS (
+  SELECT pid AS polygon_id,
+    list_transform(
+      [{'ox': 2, 'oy': 0}, {'ox': 1, 'oy': 2}, {'ox': -1, 'oy': 2},
+       {'ox': -2, 'oy': 0}, {'ox': -1, 'oy': -2}, {'ox': 1, 'oy': -2}],
+      o -> {'x': cx + o.ox * r, 'y': cy + o.oy * r}) AS v
+  FROM (SELECT CAST(pid AS BIGINT) AS pid,
+               CAST((pid % 8) * 45000 + 20000 AS BIGINT) AS cx,
+               CAST((pid // 8) * 34000 + 17000 AS BIGINT) AS cy,
+               CAST(3000 + (pid % 5) * 1500 AS BIGINT) AS r
+        FROM generate_series(0, 39) t(pid)))
+"""
+
 BOUNDARIES_CTE = """
 boundaries AS (
   SELECT

@@ -239,3 +239,16 @@ def test_salted_topk_phase1_partitions_by_salt(spark, sf_dir):
     # details; assert a window spec partitioned by [user_id, salt]
     assert "salt" in plan[plan.find("Arguments", w1):], plan
     assert plan.count("Window") >= 2 or "row_number" in plan, plan
+
+
+def test_pip_convex_never_shuffles_pages(spark, sf_dir):
+    """The convex-polygon exact PIP keeps the inner form's guarantee:
+    broadcast cover, no Exchange on the pages side, refinement inline
+    (forall over the vertex array — no UDF)."""
+    from optimizerasters_spark.pages import synth_convex_polys
+    p = synth_pages(spark, sf_dir)
+    j = spatial.pip_join_convex(p, synth_convex_polys(spark))
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

@@ -67,3 +67,28 @@ def test_sample_frames_fanout(spark, sf_dir):
     per_doc = out.groupBy("doc_id").count().collect()
     assert all(1 <= r["count"] <= 4 for r in per_doc)
     assert len(per_doc) == 20
+
+
+def test_lsh_bucket_cap_drops_degenerate_family(spark, sf_dir):
+    """A degenerate duplicate family (many docs, one bucket) explodes
+    the LSH self-join quadratically; the opt-in max_bucket cap excludes
+    exactly those buckets and the diagnostic reports them — normal
+    near-dup pairs are unaffected."""
+    from optimizerasters_spark.operators import dedup
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").where(F.col("doc_id") < 50)
+    # 30 byte-identical clones of one text -> every band bucket holds 30
+    clones = spark.range(30).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.lit("the same boilerplate page text repeated verbatim")
+         .alias("text"))
+    docs = base.unionByName(clones)
+    uncapped = dedup.lsh_candidate_pairs(docs)
+    capped = dedup.lsh_candidate_pairs(docs, max_bucket=10)
+    clone_pairs = 30 * 29 // 2
+    n_unc, n_cap = uncapped.count(), capped.count()
+    assert n_unc >= clone_pairs
+    assert n_cap == n_unc - clone_pairs  # only the clone family dropped
+    dropped = dedup.lsh_oversized_buckets(docs, max_bucket=10)
+    assert dropped.count() > 0
+    assert all(r["n_docs"] == 30 for r in dropped.collect())
