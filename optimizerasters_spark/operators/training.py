@@ -30,11 +30,24 @@ MAX_MEAN_WL_MICRO = 12_000_000   # ... and mean word length <= 12 chars
 def training_kept(docs: DataFrame,
                   jaccard_micro: int = JACCARD_MICRO,
                   min_tokens: int = MIN_TOKENS,
-                  max_mean_wl_micro: int = MAX_MEAN_WL_MICRO) -> DataFrame:
+                  max_mean_wl_micro: int = MAX_MEAN_WL_MICRO,
+                  reps_path: str | None = None) -> DataFrame:
     """Documents surviving dedup + near-dup removal + the quality gate,
-    with the gate features attached."""
+    with the gate features attached.
+
+    ``reps_path`` materializes the exact-dedup survivors to parquet
+    once and re-reads them — the 100 TB form: the near-dup pipeline
+    consumes the dedup output from several subtrees (signatures, set
+    sizes, both sides of the intersection join), and while AQE's
+    ReusedExchange collapses most of the duplication at runtime, a
+    corpus-scale run wants the deduped table written once and every
+    consumer scanning THAT (smaller) table instead of re-deriving it
+    from the raw corpus. Identical results either way."""
     reps = docs.join(D.dedup_exact(docs).select("doc_id"),
                      "doc_id", "left_semi")
+    if reps_path is not None:
+        reps.write.mode("overwrite").parquet(reps_path)
+        reps = docs.sparkSession.read.parquet(reps_path)
     victims = (D.ngram_jaccard_pairs(reps,
                                      min_jaccard_micro=jaccard_micro)
                .select(F.col("doc_b").alias("doc_id")).distinct())
@@ -55,13 +68,13 @@ def training_kept(docs: DataFrame,
 def training_flagship_rollup(docs: DataFrame,
                              jaccard_micro: int = JACCARD_MICRO,
                              min_tokens: int = MIN_TOKENS,
-                             max_mean_wl_micro: int = MAX_MEAN_WL_MICRO
-                             ) -> DataFrame:
+                             max_mean_wl_micro: int = MAX_MEAN_WL_MICRO,
+                             reps_path: str | None = None) -> DataFrame:
     """Per-language corpus stats over the kept set — the pipeline's
     one-small-table answer (what a 100 TB run ships to the trainer's
     manifest)."""
     kept = training_kept(docs, jaccard_micro, min_tokens,
-                         max_mean_wl_micro)
+                         max_mean_wl_micro, reps_path=reps_path)
     return (kept.groupBy("lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("total_tokens"),

@@ -62,6 +62,25 @@ def run_incremental(spark: SparkSession, input_dir: str, workdir: str,
     return q
 
 
+def streaming_exact_dedup(spark: SparkSession, input_dir: str,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact content dedup with BOUNDED state: sha256(text)
+    keys evict once older than the event-time watermark
+    (dropDuplicatesWithinWatermark) — the streaming twin of
+    dedup.dedup_exact. The reference's dedup-on-add (Report.addFile)
+    held every key in memory for the life of the job; watermark-bounded
+    state is what makes the same guarantee survive an unbounded crawl
+    stream."""
+    stream = (spark.readStream.schema(PAGES_STREAM_SCHEMA)
+              .parquet(input_dir)
+              .withColumn("event_ts",
+                          F.col("warc_epoch").cast("timestamp"))
+              .withColumn("text_sha", F.sha2(F.col("text"), 256)))
+    return (stream
+            .withWatermark("event_ts", watermark)
+            .dropDuplicatesWithinWatermark(["text_sha"]))
+
+
 def windowed_rates(spark: SparkSession, input_dir: str,
                    window: str = "1 hour", watermark: str = "2 hours"
                    ) -> DataFrame:

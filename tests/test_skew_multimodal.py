@@ -92,3 +92,21 @@ def test_lsh_bucket_cap_drops_degenerate_family(spark, sf_dir):
     dropped = dedup.lsh_oversized_buckets(docs, max_bucket=10)
     assert dropped.count() > 0
     assert all(r["n_docs"] == 30 for r in dropped.collect())
+
+
+def test_training_flagship_materialized_reps_equivalent(spark, sf_dir,
+                                                        tmp_path):
+    """reps_path materialization (the 100 TB scan-once form) must not
+    change the pipeline's answer, and the downstream plan must scan the
+    materialized reps table instead of re-deriving the dedup."""
+    from optimizerasters_spark.operators import training
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = training.training_flagship_rollup(d)
+    mat = training.training_flagship_rollup(
+        d, reps_path=str(tmp_path / "reps"))
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, mat.collect()))
+    simple = mat._sc._jvm.PythonSQLUtils.explainString(
+        mat._jdf.queryExecution(), "simple")
+    assert "reps" in simple  # downstream scans the materialized table
+    assert "documents.parquet" not in simple

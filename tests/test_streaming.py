@@ -87,3 +87,32 @@ def test_stateful_crawl_tracker(spark, sf_dir, tmp_path):
                       .agg(F.count(F.lit(1)).alias("n"),
                            F.max("warc_epoch").alias("mx"))).collect()}
     assert got == want
+
+
+def test_streaming_exact_dedup_bounded_state(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate sha256 keys collapse
+    within the watermark horizon and the state is BOUNDED (watermark
+    eviction) — the streaming twin of dedup_exact. Duplicates injected
+    as copies with later doc_ids must not re-emit."""
+    from optimizerasters_spark.streaming.snapshot import (
+        streaming_exact_dedup,
+    )
+
+    input_dir = str(tmp_path / "dd_in")
+    pages = synth_pages(spark, sf_dir).select(
+        "doc_id", "url", "warc_epoch", "text", "lang", "lon_md", "lat_md"
+    ).limit(200)
+    dups = (pages.where(F.col("doc_id") % 4 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 100000))
+    pages.unionByName(dups).write.mode("append").parquet(input_dir)
+
+    out = streaming_exact_dedup(spark, input_dir)
+    q = (out.writeStream.format("memory").queryName("dd")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT text_sha FROM dd").collect()
+    n_distinct = pages.select(F.sha2("text", 256)).distinct().count()
+    assert len(got) == n_distinct
+    assert len({r["text_sha"] for r in got}) == n_distinct
