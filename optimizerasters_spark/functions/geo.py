@@ -49,6 +49,30 @@ def make_cell_encode_udf(res_cells: int):
     return cell_encode
 
 
+def make_convex_pip_udf():
+    """Arrow-vectorized twin of spatial._inside_convex: point-in-convex-
+    polygon by the all-edges cross-product test over numpy batches.
+    Takes the vertex coordinates as two bigint ARRAYS (fixed ring order,
+    CCW) so each Arrow batch stacks into one (rows x nverts) int64
+    matrix — no per-row Python objects. This is the slot an arbitrary-
+    ring refiner (shapely STRtree per batch) plugs into; the twin test
+    asserting UDF == Catalyst forall keeps the boundary value-exact."""
+
+    @pandas_udf("boolean")
+    def inside_convex(lon_md: pd.Series, lat_md: pd.Series,
+                      vx: pd.Series, vy: pd.Series) -> pd.Series:
+        import numpy as np
+        X = np.stack(vx.to_numpy())          # (rows, nverts) int64
+        Y = np.stack(vy.to_numpy())
+        px = lon_md.to_numpy()[:, None]
+        py = lat_md.to_numpy()[:, None]
+        Xn, Yn = np.roll(X, -1, axis=1), np.roll(Y, -1, axis=1)
+        cross = (Xn - X) * (py - Y) - (Yn - Y) * (px - X)
+        return pd.Series((cross >= 0).all(axis=1))
+
+    return inside_convex
+
+
 def make_haversine_udf():
     """Great-circle distance in km, vectorized with numpy (the exact-geo
     refinement hook for kNN; the engine's ranking path stays on integer

@@ -134,3 +134,27 @@ def test_url_encode_matches_python_quote_plus(spark):
                         for s in p.replace("\\", "/").split("/"))
 
     assert got == [py_encode(p) for p in paths]
+
+
+def test_convex_pip_udf_matches_catalyst(spark, sf_dir):
+    """The Arrow-vectorized convex-PIP refiner must agree with the
+    Catalyst forall form on every candidate row — the twin test that
+    keeps the UDF slot (where a shapely arbitrary-ring refiner plugs
+    in) value-exact with the codegen path."""
+    from optimizerasters_spark.functions.geo import make_convex_pip_udf
+    from optimizerasters_spark.operators import spatial
+    from optimizerasters_spark.pages import synth_convex_polys
+
+    p = synth_pages(spark, sf_dir).select("doc_id", "lon_md", "lat_md")
+    polys = synth_convex_polys(spark)
+    cands = p.crossJoin(polys.where(F.col("polygon_id") < 6))
+    vx = F.transform("vertices", lambda v: v["x"])
+    vy = F.transform("vertices", lambda v: v["y"])
+    udf = make_convex_pip_udf()
+    both = cands.select(
+        "doc_id", "polygon_id",
+        spatial._inside_convex(F.col("lon_md"), F.col("lat_md"),
+                               F.col("vertices")).alias("cat"),
+        udf(F.col("lon_md"), F.col("lat_md"), vx, vy).alias("arrow"))
+    assert both.where(F.col("cat") != F.col("arrow")).count() == 0
+    assert both.where(F.col("cat")).count() > 0  # some points inside
