@@ -1985,6 +1985,47 @@ ORACLES["salted_topk"] = ORACLES["top_customers_per_nation"]
 
 from optimizerasters_spark.pages import HEX_POLYS_CTE  # noqa: E402
 
+def q_pyramid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 with the reference's NON-associative resamplers: iterative
+    level-by-level average (floor int) and nearest (top-left child),
+    exactly gdaladdo's N-from-(N-1) chain — a single jump from level 0
+    would give different floors."""
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    l0 = spatial.tile_counts_l0(p).withColumnRenamed("page_count", "val")
+    return spatial.pyramid_reduce_iterative(l0, 3)
+
+
+QUERIES.update({"pyramid_resample": q_pyramid_resample})
+
+_PYR_LVL = """
+l{n} AS (
+  SELECT tile_x >> 1 AS tile_x, tile_y >> 1 AS tile_y,
+         CAST(SUM(avg_val) AS BIGINT) // COUNT(*) AS avg_val,
+         arg_min(near_val, tile_y * 2147483648 + tile_x) AS near_val
+  FROM l{p} GROUP BY 1, 2)
+"""
+
+ORACLES["pyramid_resample"] = f"""
+{_W},
+t AS (SELECT {_TILE_SQL} FROM pages),
+l0 AS (SELECT tile_x, tile_y,
+              CAST(COUNT(*) AS BIGINT) AS avg_val,
+              CAST(COUNT(*) AS BIGINT) AS near_val
+       FROM t GROUP BY 1, 2),
+{_PYR_LVL.format(n=1, p=0).strip()},
+{_PYR_LVL.format(n=2, p=1).strip()},
+{_PYR_LVL.format(n=3, p=2).strip()}
+SELECT CAST(lv AS INT) AS level, CAST(tile_x AS INT) AS tile_x,
+       CAST(tile_y AS INT) AS tile_y,
+       CAST(avg_val AS BIGINT) AS avg_val,
+       CAST(near_val AS BIGINT) AS near_val
+FROM (
+  SELECT 0 AS lv, * FROM l0 UNION ALL
+  SELECT 1, * FROM l1 UNION ALL
+  SELECT 2, * FROM l2 UNION ALL
+  SELECT 3, * FROM l3)
+"""
+
 ORACLES["pip_join_convex"] = f"""
 {_W},
 {HEX_POLYS_CTE.strip()}
@@ -2081,7 +2122,7 @@ GATE_PRIORITY = [
     "cell_encode", "free_space_scan_dist",
     # round-3 additions (registered above if implemented)
     "ivf_train", "kmeans_assign", "training_flagship", "salted_topk",
-    "pip_join_convex",
+    "pip_join_convex", "pyramid_resample",
     # veterans whose implementation changed this round — re-verify first
     "pip_join_left", "proxy_csv", "tile_manifest", "free_space_scan",
     "pip_join",

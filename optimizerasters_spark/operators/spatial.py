@@ -82,6 +82,43 @@ def levels_from_l0(l0: DataFrame, levels: list[int]) -> DataFrame:
             .agg(F.sum("page_count").alias("page_count")))
 
 
+def pyramid_reduce_iterative(l0: DataFrame, max_level: int,
+                             value_col: str = "val") -> DataFrame:
+    """gdaladdo-faithful ITERATIVE pyramid: each level L+1 tile derives
+    from its (up to 4) level-L children, like createaOverview builds
+    level N from N-1 (OptimizeRasters.py:5060-5143) — required for the
+    non-associative resamplers, where a single jump from level 0 gives
+    different answers than the level-by-level chain:
+
+      * ``avg_val``  — PyramidSampling average/avg: floor(sum/count)
+        over the PRESENT children (integer-exact; floors compound per
+        level exactly as repeated integer resampling does);
+      * ``near_val`` — PyramidSampling nearest: the top-left present
+        child's value (min (y, x) — deterministic tie-free pick).
+
+    Count-like SUM pyramids don't need this (associative — see
+    levels_from_l0); value rasters (mean quality per tile, elevation
+    bins) do. Cost: max_level small shuffles over the TILE table, each
+    a quarter the size of the last — a geometric series bounded by 2x
+    the level-1 shuffle."""
+    cur = l0.select(
+        "tile_x", "tile_y",
+        F.col(value_col).cast("bigint").alias("avg_val"),
+        F.col(value_col).cast("bigint").alias("near_val"))
+    out = cur.withColumn("level", F.lit(0).cast("int"))
+    for lv in range(1, max_level + 1):
+        child_key = (F.col("tile_y").cast("bigint") * F.lit(1 << 31) +
+                     F.col("tile_x"))
+        cur = (cur.groupBy(
+                   F.expr("shiftright(tile_x, 1)").alias("tile_x"),
+                   F.expr("shiftright(tile_y, 1)").alias("tile_y"))
+               .agg(F.expr("sum(avg_val) div count(1)").alias("avg_val"),
+                    F.min_by("near_val", child_key).alias("near_val")))
+        out = out.unionByName(
+            cur.withColumn("level", F.lit(lv).cast("int")))
+    return out.select("level", "tile_x", "tile_y", "avg_val", "near_val")
+
+
 def polygon_cover_df(boundaries: DataFrame,
                      cell_md: int = COVER_CELL_MD) -> DataFrame:
     """Distributed cover expansion: polygons -> (polygon_id, cell) rows

@@ -75,3 +75,30 @@ def test_pack_cell_roundtrip(spark):
                     "x", "y").collect()
     for r in got:
         assert r["c"] == tiling.pack_cell(r["x"], r["y"])
+
+
+def test_pyramid_resample_iterative_differs_from_single_jump(spark):
+    """The average resampler is NON-associative under integer floors:
+    level-by-level (gdaladdo's chain) can floor away mass a single jump
+    from level 0 would keep — this fixture yields 0 iteratively but 1
+    as a one-shot mean, proving the iteration is load-bearing. Nearest
+    picks the top-left (min (y,x)) present child."""
+    from pyspark.sql import functions as F
+    from optimizerasters_spark.operators import spatial
+
+    # 4 quads of 4 tiles: three quads hold a single 3, the last a 7
+    rows = []
+    for q, (qx, qy) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+        rows.append((qx * 2, qy * 2, 7 if q == 3 else 3))
+        for dx, dy in ((1, 0), (0, 1), (1, 1)):
+            rows.append((qx * 2 + dx, qy * 2 + dy, 0))
+    l0 = spark.createDataFrame(rows, "tile_x INT, tile_y INT, val BIGINT")
+    out = spatial.pyramid_reduce_iterative(l0, 2)
+    l2 = out.where(F.col("level") == 2).collect()
+    assert len(l2) == 1
+    assert l2[0]["avg_val"] == 0          # floor(floor-chain) loses mass
+    assert sum(r[2] for r in rows) // 16 == 1  # one-jump mean keeps it
+    # nearest at level 1: each quad's top-left child value survives
+    l1 = {(r["tile_x"], r["tile_y"]): r["near_val"]
+          for r in out.where(F.col("level") == 1).collect()}
+    assert l1 == {(0, 0): 3, (1, 0): 3, (0, 1): 3, (1, 1): 7}
