@@ -1995,7 +1995,33 @@ def q_pyramid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.pyramid_reduce_iterative(l0, 3)
 
 
-QUERIES.update({"pyramid_resample": q_pyramid_resample})
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data slicing: overlapping token windows per document,
+    tail-covering chunk count, text bytes preserved verbatim."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.chunk_documents(d, window=16, stride=12)
+
+
+QUERIES.update({"pyramid_resample": q_pyramid_resample,
+                "chunk_documents": q_chunk_documents})
+
+ORACLES["chunk_documents"] = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+nc AS (SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 16 THEN 1
+              ELSE (len(t) - 16 + 12 - 1) // 12 + 1 END AS n_chunks
+       FROM tk),
+ex AS (SELECT doc_id, t,
+         CAST(unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT)))
+              AS INT) AS chunk_idx
+       FROM nc)
+SELECT doc_id, chunk_idx,
+  array_to_string(t[chunk_idx*12 + 1 : chunk_idx*12 + 16], ' ')
+    AS chunk_text,
+  CAST(len(t[chunk_idx*12 + 1 : chunk_idx*12 + 16]) AS BIGINT)
+    AS n_chunk_tokens
+FROM ex
+"""
 
 _PYR_LVL = """
 l{n} AS (
@@ -2122,7 +2148,7 @@ GATE_PRIORITY = [
     "cell_encode", "free_space_scan_dist",
     # round-3 additions (registered above if implemented)
     "ivf_train", "kmeans_assign", "training_flagship", "salted_topk",
-    "pip_join_convex", "pyramid_resample",
+    "pip_join_convex", "pyramid_resample", "chunk_documents",
     # veterans whose implementation changed this round — re-verify first
     "pip_join_left", "proxy_csv", "tile_manifest", "free_space_scan",
     "pip_join",

@@ -81,6 +81,33 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("norm_md5_hex"))
 
 
+def chunk_documents(docs: DataFrame, window: int = 64, stride: int = 48,
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping token windows — the
+    training-data slicing pass (context-window packing's upstream).
+    chunk i covers tokens [i*stride, i*stride + window); the chunk count
+    ceil((n - window)/stride) + 1 guarantees the tail tokens land in the
+    last window; docs shorter than one window emit exactly one chunk.
+    Pure Catalyst (split + sequence-explode + slice) — the explode is
+    the only row amplification and it carries the chunk text, not the
+    whole document. Text case/bytes preserved verbatim (the byte-
+    identity invariant applies to chunks too)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor((n - window + stride - 1) / stride).cast("bigint") + 1)
+    out = docs.select(
+        "doc_id", toks.alias("_t"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+         .alias("chunk_idx"))
+    piece = F.slice(F.col("_t"), F.col("chunk_idx") * stride + 1, window)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"))
+
+
 ROLL_BASE = 1000003           # Karp-Rabin base (prime > 10^6)
 ROLL_MOD = 2147483647         # 2^31 - 1: h*B + t stays < 2^52, exact
 
