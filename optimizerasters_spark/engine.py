@@ -142,6 +142,27 @@ class Engine:
             f.write(vname)
         os.replace(ptr_tmp, os.path.join(root, "CURRENT"))
 
+    def _vacuum_l0(self) -> int:
+        """Drop superseded / orphaned (crash-before-pointer-flip) level-0
+        versions — the tile store's expire-snapshots. Runs at job start
+        like ledger.vacuum: no live plan can reference old versions."""
+        root = self._l0_out()
+        if not os.path.isdir(root):
+            return 0
+        cur = None
+        ptr = os.path.join(root, "CURRENT")
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = f.read().strip()
+        import shutil
+        n = 0
+        for name in os.listdir(root):
+            full = os.path.join(root, name)
+            if name != "CURRENT" and name != cur and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+                n += 1
+        return n
+
     # -- lifecycle ---------------------------------------------------------
     def run(self, spark: SparkSession,
             pages: DataFrame | None = None,
@@ -154,6 +175,7 @@ class Engine:
         conf = self.conf
         os.makedirs(conf.workdir, exist_ok=True)
         L.vacuum(conf.workdir)  # drop snapshots no plan can reference now
+        self._vacuum_l0()       # same for superseded level-0 versions
         if pages is None:
             pages = synth_pages(spark, conf.sf_dir)
         pages = dedup.dedup_latest(pages)

@@ -259,3 +259,39 @@ def test_incremental_finalize_noop_when_nothing_new(spark, sf_dir, tmp_path):
     assert all(f"batch={eng2.run_id}" in p
                for p in eng2.last_finalize_inputs), eng2.last_finalize_inputs
     assert sorted(map(tuple, res2["tile_counts"].collect())) == before
+
+
+def test_l0_store_vacuum_and_orphan_tolerance(spark, sf_dir, tmp_path):
+    """Superseded level-0 versions are vacuumed on the next run, and an
+    orphan version dir (crash after parquet write, before pointer flip)
+    is ignored by readers and reclaimed — the previous CURRENT stays
+    authoritative."""
+    import os
+    wd = str(tmp_path / "vacjob")
+    pages = synth_pages(spark, sf_dir)
+    eng1 = Engine(JobConf(sf_dir=sf_dir, workdir=wd))
+    res1 = eng1.run(spark, pages=pages.where(F.col("doc_id") % 2 == 0))
+    before = sorted(map(tuple, res1["tile_counts"].collect()))
+    l0_root = os.path.join(wd, "tile_counts_l0")
+
+    # simulate a crash: a version dir written but never pointed at
+    orphan = os.path.join(l0_root, "v-orphan000000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "_merged_batches.txt"), "w") as f:
+        f.write("batch=bogus")
+
+    eng2 = Engine(JobConf(sf_dir=sf_dir, workdir=wd))
+    res2 = eng2.run(spark, pages=pages)
+    assert not os.path.isdir(orphan)  # reclaimed, never read
+    # vacuum at job start bounds the store to current + the one version
+    # this run superseded — versions never accumulate across runs
+    vdirs = [n for n in os.listdir(l0_root)
+             if n != "CURRENT" and os.path.isdir(os.path.join(l0_root, n))]
+    assert len(vdirs) <= 2, vdirs
+    # and the merge result is unaffected
+    engf = Engine(JobConf(sf_dir=sf_dir, workdir=str(tmp_path / "f")))
+    full = sorted(map(tuple,
+                      engf.run(spark, pages=pages)["tile_counts"]
+                      .collect()))
+    assert sorted(map(tuple, res2["tile_counts"].collect())) == full
+    assert before != full  # run 2 really added the odd half
