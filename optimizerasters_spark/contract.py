@@ -2002,8 +2002,32 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(d, window=16, stride=12)
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> text extraction with the byte-identity invariant as a
+    COLUMN: sha256(extracted) must equal sha256(text) for every url."""
+    p = synth_pages(spark, sf_dir)
+    out = text.html_to_text(p)
+    return out.select(
+        "doc_id", "extracted_text",
+        (F.sha2(F.col("extracted_text"), 256) ==
+         F.sha2(F.col("text"), 256)).cast("int").alias("byte_identical"))
+
+
 QUERIES.update({"pyramid_resample": q_pyramid_resample,
-                "chunk_documents": q_chunk_documents})
+                "chunk_documents": q_chunk_documents,
+                "html_extract": q_html_extract})
+
+ORACLES["html_extract"] = """
+WITH h AS (
+  SELECT doc_id, text,
+         '<html><body>' || text || '</body></html>' AS html_str
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(html_str, '<[^>]*>', '', 'g') AS extracted_text,
+  CAST(CASE WHEN sha256(regexp_replace(html_str, '<[^>]*>', '', 'g'))
+            = sha256(text) THEN 1 ELSE 0 END AS INT) AS byte_identical
+FROM h
+"""
 
 ORACLES["chunk_documents"] = """
 WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -2149,6 +2173,7 @@ GATE_PRIORITY = [
     # round-3 additions (registered above if implemented)
     "ivf_train", "kmeans_assign", "training_flagship", "salted_topk",
     "pip_join_convex", "pyramid_resample", "chunk_documents",
+    "html_extract",
     # veterans whose implementation changed this round — re-verify first
     "pip_join_left", "proxy_csv", "tile_manifest", "free_space_scan",
     "pip_join",

@@ -78,6 +78,11 @@ class EncoderParams:
     maker: str | None = None         # bundle | iiq | aid
     data_ext: str | None = None      # splitmrf+lerc: .lrc/.idx split
     index_ext: str | None = None
+    # GDAL_Translate_UserParameters: raw argv passthrough appended after
+    # the synthesized matrix, exactly the reference's behavior (values
+    # "passed on without any modification" per every template's comment;
+    # Grid_to_COG_LZW pins "-stats")
+    user_params: str = ""
 
     def creation_options(self) -> dict[str, str]:
         """The -co key/value surface (for parity inspection/tests).
@@ -165,6 +170,8 @@ def resolve(conf: Config, n_bands: int = 3, meta: bool = False
     p.predictor = int(conf.get_value("Predictor", 1))
     p.interleave = str(conf.get_value("Interleave", "PIXEL")).upper()
     p.lerc_prec = conf.get_value("LERCPrecision")
+    p.user_params = str(conf.get_value("GDAL_Translate_UserParameters",
+                                       "") or "")
     # BuildPyramids template knob (createaOverview gate :5060-5072);
     # proxy modes force it off below regardless
     p.pyramids = get_boolean_value(conf.get_value("BuildPyramids", True))

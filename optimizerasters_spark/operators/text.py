@@ -81,6 +81,21 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("norm_md5_hex"))
 
 
+def html_to_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Payload extraction: decode the BINARY html column as UTF-8 and
+    strip markup tags — the pages-table twin of the reference's
+    payload-classify path (it never parses payloads either; GDAL does —
+    here the 'decoder' is a tag-strip regex, and a real boilerplate
+    extractor plugs in as a pandas UDF over the same column). Pure
+    Catalyst: decode + regexp_replace, whole-stage codegen. The
+    byte-identity invariant closes the loop: on the synthetic corpus
+    (html = <html><body>{text}</body></html>) extraction must return
+    the text column byte-for-byte."""
+    raw = F.decode(F.col(html_col), "UTF-8")
+    return pages.withColumn(
+        "extracted_text", F.regexp_replace(raw, "<[^>]*>", ""))
+
+
 def chunk_documents(docs: DataFrame, window: int = 64, stride: int = 48,
                     text_col: str = "text") -> DataFrame:
     """Split each document into overlapping token windows — the

@@ -84,6 +84,11 @@ def test_template_specifics():
     cog = encoder.resolve(templates.load("Imagery_to_COG_JPEG"), n_bands=3)
     assert tif.creation_options().get("PHOTOMETRIC") == "YCBCR"
     assert "PHOTOMETRIC" not in cog.creation_options()
+    # GDAL_Translate_UserParameters pass through unmodified
+    grid = encoder.resolve(templates.load("Grid_to_COG_LZW"))
+    assert grid.user_params == "-stats"
+    assert encoder.resolve(
+        templates.load("Imagery_to_MRF_LERC")).user_params == ""
     # KeepExtension flag parses reference-truthily per template
     # ('True'/'true' set, 'false' clear) and drives the F6 rewrite
     assert templates.load("Landsat_to_MRF_LERC") \
