@@ -2013,9 +2013,40 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
          F.sha2(F.col("text"), 256)).cast("int").alias("byte_identical"))
 
 
+def q_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of the embedding table (train bounds +
+    encode), exploded to (vec_id, d, code) — the ANN memory lever,
+    integer-exact end to end."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select("vec_id",
+                 similarity.quantize_micro(F.col("embedding")).alias("v"))
+    lo, span = similarity.sq_train(v)
+    return (v.select("vec_id",
+                     F.posexplode(similarity.sq_encode_col(lo, span))
+                      .alias("d", "code"))
+            .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                    F.col("d").cast("int").alias("d"),
+                    F.col("code").cast("int").alias("code")))
+
+
 QUERIES.update({"pyramid_resample": q_pyramid_resample,
                 "chunk_documents": q_chunk_documents,
-                "html_extract": q_html_extract})
+                "html_extract": q_html_extract,
+                "sq_encode": q_sq_encode})
+
+ORACLES["sq_encode"] = """
+WITH e AS (SELECT vec_id,
+  list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(FLOOR(x * 1000000) AS BIGINT) + 1000000) AS v
+  FROM embeddings),
+b AS (SELECT d, MIN(v[d]) AS lo,
+             GREATEST(MAX(v[d]) - MIN(v[d]), 1) AS s
+      FROM e CROSS JOIN generate_series(1, 64) g(d)
+      GROUP BY d)
+SELECT e.vec_id, CAST(b.d - 1 AS INT) AS d,
+       CAST((e.v[b.d] - b.lo) * 255 // b.s AS INT) AS code
+FROM e CROSS JOIN b
+"""
 
 ORACLES["html_extract"] = """
 WITH h AS (
@@ -2173,7 +2204,7 @@ GATE_PRIORITY = [
     # round-3 additions (registered above if implemented)
     "ivf_train", "kmeans_assign", "training_flagship", "salted_topk",
     "pip_join_convex", "pyramid_resample", "chunk_documents",
-    "html_extract",
+    "html_extract", "sq_encode",
     # veterans whose implementation changed this round — re-verify first
     "pip_join_left", "proxy_csv", "tile_manifest", "free_space_scan",
     "pip_join",

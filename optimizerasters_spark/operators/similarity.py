@@ -287,6 +287,51 @@ def kmeans_train(vectors: DataFrame, k: int = 8, iters: int = 2,
         "cent_id INT, cvec ARRAY<BIGINT>, cluster_n BIGINT")
 
 
+def sq_train(vectors: DataFrame, vec_col: str = "v"
+             ) -> tuple[list[int], list[int]]:
+    """Scalar-quantization bounds: per-dimension (lo, span) over the
+    corpus — ONE posexplode + partial-aggregated min/max pass (K*dim
+    rows per task through the shuffle), bounds hop the driver like
+    k-means centroids (dim integers). Returns (lo[], span[]) with
+    span >= 1."""
+    ex = vectors.select(F.posexplode(F.col(vec_col)).alias("d", "comp"))
+    rows = sorted(ex.groupBy("d")
+                  .agg(F.min("comp").alias("lo"), F.max("comp").alias("hi"))
+                  .collect(), key=lambda r: r["d"])
+    lo = [int(r["lo"]) for r in rows]
+    span = [max(int(r["hi"]) - int(r["lo"]), 1) for r in rows]
+    return lo, span
+
+
+def sq_encode_col(lo: list[int], span: list[int],
+                  vec_col: str = "v") -> Column:
+    """8-bit scalar quantization: code_d = (v_d - lo_d) * 255 div
+    span_d, an int in [0, 255] — 4x smaller than float32 embeddings and
+    8x smaller than the micro-int form, the standard memory lever for
+    billion-vector ANN. Integer division on a non-negative numerator ->
+    exact on any engine. Plan-time constant bound arrays; whole-stage
+    codegen."""
+    los = ", ".join(str(x) for x in lo)
+    spans = ", ".join(str(x) for x in span)
+    return F.expr(
+        f"transform(sequence(0, {len(lo) - 1}), i -> CAST("
+        f"(element_at({vec_col}, i + 1) - element_at(array({los}), i + 1))"
+        f" * 255 div element_at(array({spans}), i + 1) AS INT))")
+
+
+def sq_decode_col(lo: list[int], span: list[int],
+                  code_col: str = "codes") -> Column:
+    """Reconstruct micro-int vectors from SQ codes (midpoint-free floor
+    form, the exact inverse scale of sq_encode_col)."""
+    los = ", ".join(str(x) for x in lo)
+    spans = ", ".join(str(x) for x in span)
+    return F.expr(
+        f"transform(sequence(0, {len(lo) - 1}), i -> "
+        f"element_at(array({los}), i + 1) + "
+        f"element_at({code_col}, i + 1) * "
+        f"element_at(array({spans}), i + 1) div 255)")
+
+
 def dequantize_micro(cvec: Column, offset: int = QUANT_OFFSET) -> Column:
     """Trained integer centroids -> double arrays for the cosine-space
     IVF probe path (ivf_topk)."""

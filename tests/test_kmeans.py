@@ -88,3 +88,33 @@ def test_ivf_recall_with_trained_centroids(spark, sf_dir):
     assert r8 == 1.0, f"nprobe=K must equal brute force, got {r8}"
     assert r3 >= 0.7, f"recall@5(nprobe=3) = {r3}"
     assert r1 <= r3 <= r8, (r1, r3, r8)
+
+
+def test_sq_roundtrip_preserves_topk(spark, sf_dir):
+    """8-bit scalar quantization (4x smaller than float32) must keep
+    cosine top-5 nearly intact — encode/decode are integer-exact
+    inverses up to the 255-step grid (deterministic: 0.98 recall at
+    sf0.001, 1.0 at sf0.01). Codes stay in [0, 255]."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select("vec_id",
+                 similarity.quantize_micro(F.col("embedding")).alias("v"))
+    lo, span = similarity.sq_train(v)
+    assert len(lo) == 64 and all(s >= 1 for s in span)
+    codes = v.select("vec_id",
+                     similarity.sq_encode_col(lo, span).alias("codes"))
+    rng = codes.select(
+        F.min(F.array_min("codes")).alias("mn"),
+        F.max(F.array_max("codes")).alias("mx")).collect()[0]
+    assert 0 <= rng["mn"] and rng["mx"] <= 255
+    rec = (codes.select("vec_id",
+                        similarity.sq_decode_col(lo, span).alias("vr"))
+           .select("vec_id",
+                   F.expr("transform(vr, x -> (x - 1000000) / 1e6)")
+                    .alias("embedding")))
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    x = {(r["query_id"], r["vec_id"])
+         for r in similarity.cosine_topk(e, q, k=5).collect()}
+    a = {(r["query_id"], r["vec_id"])
+         for r in similarity.cosine_topk(rec, q, k=5).collect()}
+    assert len(a & x) / len(x) >= 0.95
