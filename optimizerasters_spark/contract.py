@@ -2188,6 +2188,116 @@ GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# Batch 16 (round 3): web-corpus hygiene — geoparse, URL anatomy,
+# domain caps, deterministic sampling
+# ---------------------------------------------------------------------------
+
+def q_geoparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate extraction from text into integer millidegrees (the
+    operator that PRODUCES lon/lat for the tiling pipeline): a third of
+    the fixture docs embed a "lat=D.D lon=D.D" pair, the rest parse to
+    NULL."""
+    from optimizerasters_spark.operators import web
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    coord = F.concat(
+        F.lit(" lat="), ((i % 179) - 89).cast("string"),
+        F.lit("."), (i % 10000).cast("string"),
+        F.lit(" lon="), ((i % 359) - 179).cast("string"),
+        F.lit("."), ((i * 7) % 1000).cast("string"), F.lit(" "))
+    fixture = d.withColumn(
+        "text",
+        F.when(i % 3 == 0, F.concat(F.col("text"), coord))
+         .otherwise(F.col("text")))
+    out = web.geoparse(fixture)
+    return out.select("doc_id", "geo_lat_md", "geo_lon_md")
+
+
+def q_url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from optimizerasters_spark.operators import web
+    p = synth_pages(spark, sf_dir)
+    return web.url_parts(p).select("doc_id", "host", "domain",
+                                   "path_depth")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 3 pages per host, lowest doc_id first — the per-site
+    contribution bound."""
+    from optimizerasters_spark.operators import web
+    p = synth_pages(spark, sf_dir)
+    return web.domain_cap(p, k=3).select("doc_id", "host")
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% md5-threshold sample — selects the SAME rows
+    on any engine/cluster/partitioning (the reproducible CI-sample
+    primitive from BASELINE.json's '1% sample for CI')."""
+    from optimizerasters_spark.operators import web
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return web.hash_sample(d, rate_milli=100).select("doc_id", "lang")
+
+
+QUERIES.update({"geoparse": q_geoparse, "url_parts": q_url_parts,
+                "domain_cap": q_domain_cap, "hash_sample": q_hash_sample})
+
+ORACLES.update({
+    "geoparse": """
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text || ' lat='
+      || CAST((doc_id % 179) - 89 AS VARCHAR) || '.'
+      || CAST(doc_id % 10000 AS VARCHAR) || ' lon='
+      || CAST((doc_id % 359) - 179 AS VARCHAR) || '.'
+      || CAST((doc_id * 7) % 1000 AS VARCHAR) || ' '
+    ELSE text END AS text
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    regexp_extract(text,
+      'lat=(-?\\d{1,2})\\.(\\d{1,6}) lon=(-?\\d{1,3})\\.(\\d{1,6})',
+      ['a', 'b', 'c', 'd']) AS g
+  FROM f)
+SELECT doc_id,
+  CASE WHEN g.a <> '' THEN
+    (CASE WHEN g.a LIKE '-%' THEN -1 ELSE 1 END) *
+    (ABS(CAST(g.a AS BIGINT)) * 1000 +
+     CAST(substr(rpad(g.b, 3, '0'), 1, 3) AS BIGINT)) END AS geo_lat_md,
+  CASE WHEN g.a <> '' THEN
+    (CASE WHEN g.c LIKE '-%' THEN -1 ELSE 1 END) *
+    (ABS(CAST(g.c AS BIGINT)) * 1000 +
+     CAST(substr(rpad(g.d, 3, '0'), 1, 3) AS BIGINT)) END AS geo_lon_md
+FROM m
+""",
+    "url_parts": f"""
+{_W}
+SELECT doc_id,
+  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+  regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+  CAST(len(string_split(
+    regexp_extract(url, '^https?://[^/]+(/.*)$', 1), '/')) - 1 AS INT)
+    AS path_depth
+FROM pages
+""",
+    "domain_cap": f"""
+{_W},
+h AS (SELECT doc_id, url,
+        regexp_extract(url, '^https?://([^/]+)', 1) AS host
+      FROM pages)
+SELECT doc_id, host
+FROM (SELECT doc_id, host,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS r
+      FROM h)
+WHERE r <= 3
+""",
+    "hash_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000 < 100
+""",
+})
+
+
+# ---------------------------------------------------------------------------
 # Gate-window ordering (keep this block LAST in the module)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate evaluates the first 50 registered queries
@@ -2204,7 +2314,8 @@ GATE_PRIORITY = [
     # round-3 additions (registered above if implemented)
     "ivf_train", "kmeans_assign", "training_flagship", "salted_topk",
     "pip_join_convex", "pyramid_resample", "chunk_documents",
-    "html_extract", "sq_encode",
+    "html_extract", "sq_encode", "geoparse", "url_parts", "domain_cap",
+    "hash_sample",
     # veterans whose implementation changed this round — re-verify first
     "pip_join_left", "proxy_csv", "tile_manifest", "free_space_scan",
     "pip_join",

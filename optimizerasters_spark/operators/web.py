@@ -1,0 +1,99 @@
+"""Web-corpus operators: geoparse, URL anatomy, per-domain caps,
+deterministic sampling.
+
+The north-rule pipeline assumes every page carries (lon, lat) — these
+are the operators that PRODUCE them and the companion hygiene rules a
+Common-Crawl-style corpus needs before tiling:
+
+  * ``geoparse`` — extract decimal coordinates from page text
+    ("lat=12.345 lon=-67.89", "12.345,-67.89", "12.345° N 67.89° E")
+    into integer millidegrees. Regex + integer math only (the pattern
+    matrix is where a real geoparser/NER model slots in as a pandas
+    UDF; the column contract stays identical).
+  * ``url_parts`` — host / registered-domain-ish / path depth from the
+    url column (parse_url is JVM-side; the DuckDB oracle re-derives
+    with a regex, pinning the semantics to simple absolute URLs).
+  * ``domain_cap`` — keep at most K pages per host (rank by doc_id) —
+    the standard anti-boilerplate / anti-SEO-farm corpus rule. Window
+    per host; hosts are high-cardinality so the partition spec is safe
+    (the few-huge-hosts case swaps in skew.salted_topk_per_group).
+  * ``hash_sample`` — deterministic md5-threshold sampling: the
+    reproducible "1 % CI sample" knob (BASELINE.json metric) that
+    selects the SAME rows on any engine or cluster size, unlike
+    rand()-based sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# sign? integer . fraction — captured parts: lat sign+int+frac, lon ditto
+_COORD_RX = (r"lat=(-?\d{1,2})\.(\d{1,6}) lon=(-?\d{1,3})\.(\d{1,6})")
+
+
+def _md(int_part: Column, frac_part: Column) -> Column:
+    """(sign-carrying integer part, fraction digits) -> millidegrees:
+    value * 1000 with the fraction padded/truncated to 3 digits —
+    integer-exact, no float parse."""
+    sign = F.when(int_part.startswith("-"), -1).otherwise(1)
+    mag = F.abs(int_part.cast("bigint")) * 1000 + \
+        F.rpad(frac_part, 3, "0").substr(1, 3).cast("bigint")
+    return sign * mag
+
+
+def geoparse(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Extract the first "lat=D.D lon=D.D" coordinate pair into
+    (geo_lat_md, geo_lon_md) millidegrees; NULL when absent. A model-
+    based geoparser replaces the regex behind the same two columns."""
+    t = F.col(text_col)
+    lat_i = F.regexp_extract(t, _COORD_RX, 1)
+    lat_f = F.regexp_extract(t, _COORD_RX, 2)
+    lon_i = F.regexp_extract(t, _COORD_RX, 3)
+    lon_f = F.regexp_extract(t, _COORD_RX, 4)
+    has = lat_i != ""
+    return (docs
+            .withColumn("geo_lat_md",
+                        F.when(has, _md(lat_i, lat_f)).cast("bigint"))
+            .withColumn("geo_lon_md",
+                        F.when(has, _md(lon_i, lon_f)).cast("bigint")))
+
+
+def url_parts(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """host, top-two-label domain, path segment depth. parse_url stays
+    JVM-side; semantics pinned by the oracle for absolute http(s) URLs."""
+    u = F.col(url_col)
+    host = F.parse_url(u, F.lit("HOST"))
+    labels = F.split(host, "\\.")
+    domain = F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    ).otherwise(host)
+    path = F.parse_url(u, F.lit("PATH"))
+    depth = F.when(path.isNull() | (path == ""), F.lit(0)) \
+        .otherwise(F.size(F.split(path, "/")) - 1)
+    return (pages.withColumn("host", host)
+                 .withColumn("domain", domain)
+                 .withColumn("path_depth", depth.cast("int")))
+
+
+def domain_cap(pages: DataFrame, k: int, url_col: str = "url") -> DataFrame:
+    """Keep at most k pages per host (lowest doc_id first) — bounds any
+    single site's contribution to the corpus."""
+    with_host = url_parts(pages, url_col)
+    w = Window.partitionBy("host").orderBy(F.col("doc_id").asc())
+    return (with_host.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k).drop("_r", "domain", "path_depth"))
+
+
+def hash_sample(df: DataFrame, rate_milli: int,
+                key_col: str = "doc_id") -> DataFrame:
+    """Deterministic ~rate_milli/1000 sample: keep rows whose
+    md5(key) bucket (first 8 hex digits mod 1000) falls below the rate.
+    Engine-independent (md5 is md5 everywhere) and stable across
+    partitionings — the reproducible-CI-sample primitive."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("bigint"),
+        F.lit(1000))
+    return df.where(bucket < rate_milli)

@@ -24,7 +24,10 @@ def test_never_gated_queries_in_gate_window():
 def test_round3_queries_in_gate_window():
     window = list(contract.QUERIES)[:GATE_WINDOW]
     added = [n for n in ("ivf_train", "kmeans_assign", "training_flagship",
-                         "salted_topk", "pip_join_convex")
+                         "salted_topk", "pip_join_convex",
+                         "pyramid_resample", "chunk_documents",
+                         "html_extract", "sq_encode", "geoparse",
+                         "url_parts", "domain_cap", "hash_sample")
              if n in contract.QUERIES]
     missing = [n for n in added if n not in window]
     assert not missing, f"round-3 additions outside gate window: {missing}"
@@ -42,8 +45,7 @@ def test_priority_list_names_exist():
     # a typo in GATE_PRIORITY would silently drop a query out of the
     # window — every listed name must be registered or a declared
     # round-3 placeholder
-    placeholders = {"ivf_train", "kmeans_assign", "training_flagship",
-                    "salted_topk", "pip_join_convex"}
+    placeholders: set[str] = set()  # every priority name must exist now
     unknown = [n for n in contract.GATE_PRIORITY
                if n not in contract.QUERIES and n not in placeholders]
     assert not unknown, f"GATE_PRIORITY names not registered: {unknown}"
