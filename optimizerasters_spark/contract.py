@@ -2269,14 +2269,19 @@ SELECT doc_id,
 FROM m
 """,
     "url_parts": f"""
-{_W}
-SELECT doc_id,
-  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
-  regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+{_W},
+h AS (SELECT doc_id, url,
+        regexp_extract(url, '^https?://([^/]+)', 1) AS host
+      FROM pages),
+s AS (SELECT doc_id, url, host, string_split(host, '.') AS sp FROM h)
+SELECT doc_id, host,
+  CASE WHEN len(sp) >= 2
+       THEN sp[len(sp) - 1] || '.' || sp[len(sp)]
+       ELSE host END AS domain,
   CAST(len(string_split(
     regexp_extract(url, '^https?://[^/]+(/.*)$', 1), '/')) - 1 AS INT)
     AS path_depth
-FROM pages
+FROM s
 """,
     "domain_cap": f"""
 {_W},

@@ -158,3 +158,19 @@ def test_convex_pip_udf_matches_catalyst(spark, sf_dir):
         udf(F.col("lon_md"), F.col("lat_md"), vx, vy).alias("arrow"))
     assert both.where(F.col("cat") != F.col("arrow")).count() == 0
     assert both.where(F.col("cat")).count() > 0  # some points inside
+
+
+def test_url_parts_multi_label_hosts(spark):
+    """Domain = last two host labels regardless of label count; bare
+    hosts pass through; path depth counts segments."""
+    from optimizerasters_spark.operators import web
+    df = spark.createDataFrame(
+        [(1, "https://a.b.example.com/x/y"),
+         (2, "https://example.com"),
+         (3, "http://sub.site9.example/p/1")],
+        "doc_id bigint, url string")
+    r = {x["doc_id"]: (x["host"], x["domain"], x["path_depth"])
+         for x in web.url_parts(df).collect()}
+    assert r[1] == ("a.b.example.com", "example.com", 2)
+    assert r[2] == ("example.com", "example.com", 0)
+    assert r[3] == ("sub.site9.example", "site9.example", 2)
