@@ -80,3 +80,45 @@ def test_glob_regex_matches_fnmatchcase(path, pattern):
     want = fnmatch.fnmatchcase(path, eff)
     got = bool(re.search(filters.glob_to_regex(pattern), path))
     assert got == want, (path, pattern)
+
+
+def test_chunk_documents_coverage_invariants(spark):
+    """For every token count 0..40 (window 16, stride 12): chunks never
+    exceed the window, the LAST chunk reaches the final token (no tail
+    loss), chunk starts advance by exactly the stride, and stitching
+    each chunk's first `stride` tokens plus the last chunk reconstructs
+    the document verbatim."""
+    from pyspark.sql import functions as F
+    from optimizerasters_spark.operators import text as T
+
+    # sequence(1, 0) counts DOWN in Spark — guard the n=0 row explicitly
+    docs = spark.range(41).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, F.lit("")).otherwise(
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.greatest(F.col("id").cast("int"),
+                                                F.lit(1))),
+                lambda i: F.concat(F.lit("t"), i.cast("string")))))
+        .alias("text"))
+    out = T.chunk_documents(docs, window=16, stride=12).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n in range(41):
+        toks = [f"t{i}" for i in range(1, n + 1)]
+        # split('', ' ') yields one empty token — mirror that
+        base = toks if n > 0 else [""]
+        chunks = sorted(by_doc[n], key=lambda r: r["chunk_idx"])
+        expect_cnt = 1 if len(base) <= 16 else \
+            (len(base) - 16 + 11) // 12 + 1
+        assert len(chunks) == expect_cnt, (n, len(chunks))
+        assert all(c["n_chunk_tokens"] <= 16 for c in chunks)
+        # last chunk covers the final token
+        last_start = (len(chunks) - 1) * 12
+        assert last_start + chunks[-1]["n_chunk_tokens"] >= len(base)
+        # stitch: stride-prefix of each chunk + the whole last chunk
+        stitched: list[str] = []
+        for c in chunks[:-1]:
+            stitched += c["chunk_text"].split(" ")[:12]
+        stitched += chunks[-1]["chunk_text"].split(" ")
+        assert stitched[:len(base)] == base, (n, stitched, base)
