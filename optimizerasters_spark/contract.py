@@ -2237,8 +2237,46 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.hash_sample(d, rate_milli=100).select("doc_id", "lang")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as a REAL operator: latest crawl version at-or-before each
+    query timestamp (newest wins, older-only, and no-match NULL cases
+    all exercised). One equi-join + one max_by aggregation — the
+    timestamp predicate lives in the max_by key, never a θ-join."""
+    p = synth_pages(spark, sf_dir)
+    versions = p.select("url", "warc_epoch", "doc_id").unionByName(
+        p.where(F.col("doc_id") % 100 == 0).select(
+            "url", (F.col("warc_epoch") - 86400).alias("warc_epoch"),
+            (F.col("doc_id") + 1000000).alias("doc_id")))
+    back = F.element_at(F.array(F.lit(0), F.lit(86400), F.lit(200000)),
+                        (F.col("doc_id") % 3 + 1).cast("int"))
+    queries = p.where(F.col("doc_id") % 5 == 0).select(
+        "url", (F.col("warc_epoch") - back).alias("q_epoch"))
+    return windows.asof_join(queries, versions)
+
+
 QUERIES.update({"geoparse": q_geoparse, "url_parts": q_url_parts,
-                "domain_cap": q_domain_cap, "hash_sample": q_hash_sample})
+                "domain_cap": q_domain_cap, "hash_sample": q_hash_sample,
+                "asof_join": q_asof_join})
+
+ORACLES["asof_join"] = f"""
+{_W},
+v AS (SELECT url, warc_epoch, doc_id FROM pages
+      UNION ALL
+      SELECT url, warc_epoch - 86400, doc_id + 1000000
+      FROM pages WHERE doc_id % 100 = 0),
+q AS (SELECT DISTINCT url,
+        warc_epoch - (CASE CAST(doc_id % 3 AS INT)
+                      WHEN 0 THEN 0 WHEN 1 THEN 86400
+                      ELSE 200000 END) AS q_epoch
+      FROM pages WHERE doc_id % 5 = 0)
+SELECT q.url, q.q_epoch,
+  arg_max(v.doc_id, CASE WHEN v.warc_epoch <= q.q_epoch
+          THEN v.warc_epoch * 100000000 - v.doc_id END) AS matched_id,
+  arg_max(v.warc_epoch, CASE WHEN v.warc_epoch <= q.q_epoch
+          THEN v.warc_epoch * 100000000 - v.doc_id END) AS matched_epoch
+FROM q LEFT JOIN v USING (url)
+GROUP BY q.url, q.q_epoch
+"""
 
 ORACLES.update({
     "geoparse": """
@@ -2320,7 +2358,7 @@ GATE_PRIORITY = [
     "ivf_train", "kmeans_assign", "training_flagship", "salted_topk",
     "pip_join_convex", "pyramid_resample", "chunk_documents",
     "html_extract", "sq_encode", "geoparse", "url_parts", "domain_cap",
-    "hash_sample",
+    "hash_sample", "asof_join",
     # veterans whose implementation changed this round — re-verify first
     "pip_join_left", "proxy_csv", "tile_manifest", "free_space_scan",
     "pip_join",

@@ -110,3 +110,33 @@ def stage_pivot(metrics: DataFrame, entity_col: str, stage_col: str,
             .pivot(stage_col, stages)
             .sum(amount_col)
             .na.fill(0))
+
+
+def asof_join(queries: DataFrame, versions: DataFrame,
+              key: str = "url", qts_col: str = "q_epoch",
+              vts_col: str = "warc_epoch",
+              version_id: str = "doc_id") -> DataFrame:
+    """As-of join (SURVEY.md J6 done for real): each query row gets the
+    LATEST version at or before its timestamp (ties -> lowest id), NULL
+    when no version qualifies.
+
+    Shape: one equi-join on the key + ONE max_by aggregation per
+    (key, query-ts) — the timestamp predicate folds into the max_by key
+    (NULL-keyed rows are skipped), so the shuffle carries one row per
+    (key, query) per map task after partial combine; never a window
+    over every (query x version) pair and never a range θ-join."""
+    q = queries.select(key, qts_col).dropDuplicates([key, qts_col])
+    j = q.join(versions, key, "left")
+    valid = F.col(vts_col) <= F.col(qts_col)
+    # (ts, -id) packed into one BIGINT so the tiebreak is one orderable
+    # key on any engine (epoch * 1e8 dominates any id < 1e8)
+    ord_key = F.when(valid, F.col(vts_col) * F.lit(100000000) -
+                     F.col(version_id))
+    picked = F.max_by(
+        F.struct(F.col(version_id).alias("vid"),
+                 F.col(vts_col).alias("vts")), ord_key)
+    return (j.groupBy(key, qts_col)
+            .agg(picked.alias("_m"))
+            .select(key, qts_col,
+                    F.col("_m.vid").alias("matched_id"),
+                    F.col("_m.vts").alias("matched_epoch")))
