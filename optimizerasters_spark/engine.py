@@ -68,6 +68,13 @@ class JobConf:
     # incremental merge of only-new batches. retryall implies it — cleared
     # statuses re-emit already-counted pages, invalidating merge history.
     repair: bool = False
+    # corpus hygiene applied BEFORE the ledger init (they define the
+    # job's input universe, so resume semantics see the filtered set):
+    # keep at most this many pages per host (web.domain_cap) ...
+    domain_cap_k: int | None = None
+    # ... and/or a deterministic md5-threshold sample rate out of 1000
+    # (web.hash_sample — the reproducible "1% CI sample" knob)
+    sample_milli: int | None = None
 
 
 class Engine:
@@ -179,6 +186,13 @@ class Engine:
         if pages is None:
             pages = synth_pages(spark, conf.sf_dir)
         pages = dedup.dedup_latest(pages)
+        if conf.sample_milli is not None:
+            from optimizerasters_spark.operators import web
+            pages = web.hash_sample(pages, conf.sample_milli, "url")
+        if conf.domain_cap_k is not None:
+            from optimizerasters_spark.operators import web
+            pages = web.domain_cap(pages, conf.domain_cap_k) \
+                .drop("host")
 
         led = L.read_ledger(spark, conf.workdir)
         if led is None:

@@ -295,3 +295,34 @@ def test_l0_store_vacuum_and_orphan_tolerance(spark, sf_dir, tmp_path):
                       .collect()))
     assert sorted(map(tuple, res2["tile_counts"].collect())) == full
     assert before != full  # run 2 really added the odd half
+
+
+def test_engine_hygiene_knobs(spark, sf_dir, tmp_path):
+    """domain_cap_k and sample_milli shape the job's input universe
+    BEFORE ledger init: the ledger holds exactly the filtered set, no
+    host exceeds the cap, the sample is the deterministic md5 subset,
+    and a resume over the same conf reprocesses nothing."""
+    from optimizerasters_spark.operators import dedup, web
+    wd = str(tmp_path / "hyg")
+    conf = JobConf(sf_dir=sf_dir, workdir=wd, domain_cap_k=2,
+                   sample_milli=500)
+    eng = Engine(conf)
+    res = eng.run(spark)
+    led = res["ledger"]
+    expect = web.domain_cap(
+        web.hash_sample(dedup.dedup_latest(synth_pages(spark, sf_dir)),
+                        500, "url"), 2)
+    assert led.count() == expect.count()
+    hosts = web.url_parts(led).groupBy("host").count() \
+        .agg(F.max("count")).collect()[0][0]
+    assert hosts <= 2
+    assert led.where(F.col("processed") != "yes").count() == 0
+    # resume: nothing pending
+    eng2 = Engine(JobConf(sf_dir=sf_dir, workdir=wd, domain_cap_k=2,
+                          sample_milli=500))
+    eng2.run(spark)
+    m = eng2.get_metrics(spark)
+    n2 = (m.where((F.col("stage") == "process") &
+                  (F.col("run_id") == eng2.run_id))
+          .agg(F.sum("rows")).collect()[0][0])
+    assert n2 == 0
