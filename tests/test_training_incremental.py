@@ -1,0 +1,65 @@
+"""Incremental corpus build: batch-by-batch ingest must equal the
+one-shot pipeline (under id-ordered arrival) and never rescan the
+accepted corpus except for band-matched candidates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimizerasters_spark.operators import training
+from optimizerasters_spark.operators.training_incremental import (
+    CorpusBuilder,
+)
+
+
+def _docs_with_dups(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang")
+    exact = (base.where(F.col("doc_id") % 10 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 10000))
+    near = (base.where(F.col("doc_id") % 7 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 20000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zzz"))))
+    return base.unionByName(exact).unionByName(near)
+
+
+def test_incremental_equals_one_shot_under_ordered_ingest(
+        spark, sf_dir, tmp_path):
+    docs = _docs_with_dups(spark, sf_dir)
+    # one-shot reference: exact dedup + LSH near-dup removal (no gate)
+    one_shot = {r["doc_id"] for r in
+                training.training_kept(
+                    docs, min_tokens=0,
+                    max_mean_wl_micro=1 << 60).select("doc_id").collect()}
+
+    cb = CorpusBuilder(str(tmp_path / "corpus"))
+    s1 = cb.ingest(spark, docs.where(F.col("doc_id") < 300))
+    s2 = cb.ingest(spark, docs.where((F.col("doc_id") >= 300) &
+                                     (F.col("doc_id") < 10000)))
+    s3 = cb.ingest(spark, docs.where(F.col("doc_id") >= 10000))
+    got = {r["doc_id"] for r in cb.kept(spark).select("doc_id").collect()}
+    assert got == one_shot, (len(got), len(one_shot),
+                             sorted(got ^ one_shot)[:10])
+    assert s1["accepted"] > 0 and s3["in"] > s3["accepted"]
+
+
+def test_incremental_rejects_cross_batch_duplicates(spark, sf_dir,
+                                                    tmp_path):
+    """A later batch consisting ONLY of exact and near copies of
+    already-accepted docs must be rejected wholesale — via the sha set
+    and the band-bucket candidate join, without rescanning the corpus."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang").where(F.col("doc_id") < 200)
+    cb = CorpusBuilder(str(tmp_path / "corpus2"))
+    s1 = cb.ingest(spark, base)
+    dup_batch = base.withColumn("doc_id", F.col("doc_id") + 5000) \
+        .unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + 6000)
+                .withColumn("text",
+                            F.concat(F.col("text"), F.lit(" qqq"))))
+    s2 = cb.ingest(spark, dup_batch)
+    assert s2["accepted"] == 0, s2
+    assert cb.kept(spark).count() == s1["accepted"]
+    # idempotent re-ingest of batch 1: everything is an exact dup now
+    s3 = cb.ingest(spark, base)
+    assert s3["accepted"] == 0
