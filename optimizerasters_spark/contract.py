@@ -2254,9 +2254,43 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.asof_join(queries, versions)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-within resize plumbing (Arrow mapInPandas): integer micro-
+    unit scale, never upscale, thumbnail content hash — the oracle
+    re-derives every column from the payload bytes in SQL, so the UDF
+    boundary is value-exact like media_decode's."""
+    from optimizerasters_spark.operators import multimodal
+    m = multimodal.synth_media(synth_pages(spark, sf_dir))
+    return multimodal.resize_images(m, target_w=256, target_h=256)
+
+
 QUERIES.update({"geoparse": q_geoparse, "url_parts": q_url_parts,
                 "domain_cap": q_domain_cap, "hash_sample": q_hash_sample,
-                "asof_join": q_asof_join})
+                "asof_join": q_asof_join,
+                "media_resize": q_media_resize})
+
+ORACLES["media_resize"] = f"""
+{_W},
+d AS (
+  SELECT doc_id, text,
+    CAST(16 + (ord(substr(text, 1, 1)) % 64) * 8 AS INT) AS width,
+    CAST(16 + (ord(substr(text, length(text), 1)) % 64) * 8 AS INT)
+      AS height
+  FROM pages),
+s AS (
+  SELECT doc_id, text, width, height,
+    LEAST(1000000, (256 * 1000000) // width,
+          (256 * 1000000) // height) AS scale_micro
+  FROM d)
+SELECT doc_id, width, height,
+  CAST(GREATEST((width * scale_micro) // 1000000, 1) AS INT) AS out_w,
+  CAST(GREATEST((height * scale_micro) // 1000000, 1) AS INT) AS out_h,
+  CAST(scale_micro AS BIGINT) AS scale_micro,
+  sha256(substr(text, 1,
+    CAST(GREATEST((width * scale_micro) // 1000000, 1) AS INT)))
+    AS thumb_sha
+FROM s
+"""
 
 ORACLES["asof_join"] = f"""
 {_W},
@@ -2358,7 +2392,7 @@ GATE_PRIORITY = [
     "ivf_train", "kmeans_assign", "training_flagship", "salted_topk",
     "pip_join_convex", "pyramid_resample", "chunk_documents",
     "html_extract", "sq_encode", "geoparse", "url_parts", "domain_cap",
-    "hash_sample", "asof_join",
+    "hash_sample", "asof_join", "media_resize",
     # veterans whose implementation changed this round — re-verify first
     "pip_join_left", "proxy_csv", "tile_manifest", "free_space_scan",
     "pip_join",

@@ -103,6 +103,46 @@ def sample_frames(media: DataFrame, every_n: int = 10,
     return media.mapInPandas(run, FRAME_OUT_SCHEMA)
 
 
+RESIZE_OUT_SCHEMA = ("doc_id BIGINT, width INT, height INT, out_w INT, "
+                     "out_h INT, scale_micro BIGINT, thumb_sha STRING")
+
+
+def resize_images(media: DataFrame, target_w: int = 256,
+                  target_h: int = 256,
+                  decoder: Callable[[bytes], tuple] = _fake_decode
+                  ) -> DataFrame:
+    """Fit-within resize plumbing: decode dims, compute the integer
+    micro-unit scale (never upscale), emit output dims + a thumbnail
+    content hash. The 'thumbnail' is a deterministic byte-prefix slice —
+    a real resampler (PIL.thumbnail) replaces the slicer; the Spark
+    shape (mapInPandas, fixed-width outputs, integer scale math) is the
+    production one and the whole stage stays SQL-oracle-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        M = 1000000
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "out_w",
+                                   "out_h", "scale_micro", "thumb_sha")}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(buf) if buf is not None else b""
+                w, h, _, _ = decoder(data)
+                scale = min(M, (target_w * M) // w, (target_h * M) // h)
+                ow = max((w * scale) // M, 1)
+                oh = max((h * scale) // M, 1)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["scale_micro"].append(scale)
+                out["thumb_sha"].append(
+                    hashlib.sha256(data[:ow]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, RESIZE_OUT_SCHEMA)
+
+
 def synth_media(docs: DataFrame) -> DataFrame:
     """Media fixture: html-derived bytes as the opaque payload + declared
     metadata (typed struct pattern)."""

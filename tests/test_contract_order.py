@@ -27,7 +27,7 @@ def test_round3_queries_in_gate_window():
                          "salted_topk", "pip_join_convex",
                          "pyramid_resample", "chunk_documents",
                          "html_extract", "sq_encode", "geoparse",
-                         "url_parts", "domain_cap", "hash_sample", "asof_join")
+                         "url_parts", "domain_cap", "hash_sample", "asof_join", "media_resize")
              if n in contract.QUERIES]
     missing = [n for n in added if n not in window]
     assert not missing, f"round-3 additions outside gate window: {missing}"
