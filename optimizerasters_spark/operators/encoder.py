@@ -123,6 +123,19 @@ class EncoderParams:
             co["NOCOPY"] = "True"
         return co
 
+    def argv(self) -> list[str]:
+        """The assembled gdal_translate-style argument vector — the
+        reference's args_Callback return shape (['-of', fmt, '-co',
+        'K=V', ...] + user params appended unmodified, :3875-3999).
+        The engine itself consumes the struct; this is the parity
+        surface for anything that still shells out."""
+        out = ["-of", self.out_format]
+        for k, v in self.creation_options().items():
+            out += ["-co", f"{k}={v}"]
+        if self.user_params:
+            out += self.user_params.split(" ")
+        return out
+
 
 def resolve(conf: Config, n_bands: int = 3, meta: bool = False
             ) -> EncoderParams:

@@ -169,3 +169,39 @@ def test_encoder_struct_col(spark):
     # *_cog keeps the row's configured compression (only the cog config
     # key forces deflate, and that is job-wide via resolve())
     assert e2["out_format"] == "COG" and e2["compression"] == "jpeg"
+
+
+def test_encoder_argv_assembly():
+    """argv() mirrors args_Callback's return shape: -of + -co pairs +
+    user params appended verbatim at the end."""
+    from optimizerasters_spark import templates
+    p = encoder.resolve(templates.load("Grid_to_COG_LZW"))
+    argv = p.argv()
+    assert argv[:2] == ["-of", "COG"]
+    assert argv[-1] == "-stats"                     # user params last
+    assert "-co" in argv and "COMPRESS=lzw" in argv
+    assert "BLOCKSIZE=256" in argv
+    # no user params -> none appended
+    p2 = encoder.resolve(templates.load("Imagery_to_MRF_LERC"))
+    a2 = p2.argv()
+    assert a2[:2] == ["-of", "MRF"] and "OPTIONS=V2=ON" in a2
+    assert a2.count("-co") == len(p2.creation_options())
+
+
+def test_text_operators_tolerate_null_and_empty_text(spark):
+    """Null/empty text must not crash the text stages; behavior is
+    pinned: null text -> null outputs (token counts/hashes), empty text
+    -> the one-empty-token convention the batch pipeline uses."""
+    from pyspark.sql import functions as F
+    from optimizerasters_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "two words")],
+        "doc_id bigint, text string")
+    tc = {r["doc_id"]: r["n_tokens"]
+          for r in T.token_count(df).collect()}
+    assert tc[1] is None and tc[2] == 1 and tc[3] == 2
+    fp = {r["doc_id"]: r["sha256_hex"] for r in T.fingerprint(df).collect()}
+    assert fp[1] is None and fp[2] is not None
+    ch = T.chunk_documents(df.where(F.col("doc_id") >= 2)).collect()
+    assert {r["doc_id"] for r in ch} == {2, 3}  # null rows drop, no crash
