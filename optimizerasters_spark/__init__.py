@@ -16,3 +16,6 @@ __version__ = "0.1.0"
 
 from optimizerasters_spark.session import get_spark  # noqa: F401
 from optimizerasters_spark.engine import Engine, JobConf  # noqa: F401
+from optimizerasters_spark.operators.training_incremental import (  # noqa: F401,E501
+    CorpusBuilder,
+)
