@@ -78,10 +78,11 @@ class EncoderParams:
     maker: str | None = None         # bundle | iiq | aid
     data_ext: str | None = None      # splitmrf+lerc: .lrc/.idx split
     index_ext: str | None = None
-    # GDAL_Translate_UserParameters: raw argv passthrough appended after
-    # the synthesized matrix, exactly the reference's behavior (values
-    # "passed on without any modification" per every template's comment;
-    # Grid_to_COG_LZW pins "-stats")
+    # GDAL_Translate_UserParameters: raw argv passthrough ahead of the
+    # synthesized matrix (the reference splits them into args before it
+    # adds -of/-co, :3891-3894; values "passed on without any
+    # modification" per every template's comment; Grid_to_COG_LZW pins
+    # "-stats")
     user_params: str = ""
 
     def creation_options(self) -> dict[str, str]:
@@ -125,15 +126,16 @@ class EncoderParams:
 
     def argv(self) -> list[str]:
         """The assembled gdal_translate-style argument vector — the
-        reference's args_Callback return shape (['-of', fmt, '-co',
-        'K=V', ...] + user params appended unmodified, :3875-3999).
-        The engine itself consumes the struct; this is the parity
-        surface for anything that still shells out."""
-        out = ["-of", self.out_format]
+        reference's args_Callback return shape: user params FIRST
+        (GDAL_Translate_UserParameters lands in argv before -of/-co,
+        OptimizeRasters.py:3891-3894, whitespace-collapsing .split()),
+        then ['-of', fmt, '-co', 'K=V', ...]. The engine itself
+        consumes the struct; this is the parity surface for anything
+        that still shells out."""
+        out = self.user_params.split() if self.user_params else []
+        out += ["-of", self.out_format]
         for k, v in self.creation_options().items():
             out += ["-co", f"{k}={v}"]
-        if self.user_params:
-            out += self.user_params.split(" ")
         return out
 
 

@@ -172,15 +172,20 @@ def test_encoder_struct_col(spark):
 
 
 def test_encoder_argv_assembly():
-    """argv() mirrors args_Callback's return shape: -of + -co pairs +
-    user params appended verbatim at the end."""
+    """argv() mirrors args_Callback's return shape: user params FIRST
+    (the reference appends GDAL_Translate_UserParameters into args
+    before -of/-co, OptimizeRasters.py:3891-3894) then -of + -co
+    pairs; repeated whitespace collapses like str.split()."""
     from optimizerasters_spark import templates
     p = encoder.resolve(templates.load("Grid_to_COG_LZW"))
     argv = p.argv()
-    assert argv[:2] == ["-of", "COG"]
-    assert argv[-1] == "-stats"                     # user params last
+    assert argv[0] == "-stats"                      # user params first
+    assert argv[1:3] == ["-of", "COG"]
     assert "-co" in argv and "COMPRESS=lzw" in argv
     assert "BLOCKSIZE=256" in argv
+    # whitespace-collapsing split: no empty tokens from double spaces
+    p.user_params = "-stats  -strict"
+    assert p.argv()[:2] == ["-stats", "-strict"]
     # no user params -> none appended
     p2 = encoder.resolve(templates.load("Imagery_to_MRF_LERC"))
     a2 = p2.argv()
