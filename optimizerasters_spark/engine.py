@@ -90,6 +90,10 @@ class Engine:
         # batch dirs the last finalize actually read (test/inspection
         # hook for the incremental-cost claim)
         self.last_finalize_inputs: list[str] = []
+        # test hook (mirrors last_finalize_inputs): did the most recent
+        # til_finalize stage scan page_tiles at all? False on a
+        # steady-state resume where no group releases.
+        self.last_til_finalize_scanned: bool = False
 
     # -- paths ------------------------------------------------------------
     def _pages_out(self) -> str:
@@ -307,23 +311,38 @@ class Engine:
                 releasing = complete.join(done, "til_group", "left_anti")
             except Exception:  # first run — no output yet
                 releasing = complete
-            # overview stats group by the DECLARED membership (join on
-            # url), not a re-derivation of the group key from the url —
-            # a caller-supplied til_members whose grouping differs from
-            # the default URL formula must aggregate under ITS groups
-            release_members = declared.select("url", "til_group") \
-                .join(releasing, "til_group", "left_semi")
-            fresh = (spark.read.parquet(self._pages_out())
-                     .dropDuplicates(["url"])
-                     .select("url", "tile_x", "tile_y")
-                     .join(release_members, "url")
-                     .groupBy("til_group")
-                     .agg(F.count(F.lit(1)).alias("member_count"),
-                          F.countDistinct("tile_x", "tile_y")
-                           .alias("n_tiles")))
-            if not fresh.isEmpty():
-                fresh.withColumn("finalized_run", F.lit(self.run_id)) \
-                    .write.mode("append").parquet(self._til_out())
+            # O(releasing), never O(history): `releasing` is computed
+            # from the ledger + the tiny overview output, so a
+            # steady-state resume (nothing releasing) short-circuits
+            # without touching page_tiles at all, and otherwise
+            # page_tiles is semi-joined down to the releasing groups'
+            # member urls BEFORE the url dedup — the shuffle is
+            # proportional to the releasing members, not the corpus.
+            if releasing.isEmpty():
+                self.last_til_finalize_scanned = False
+            else:
+                self.last_til_finalize_scanned = True
+                # overview stats group by the DECLARED membership (join
+                # on url), not a re-derivation of the group key from the
+                # url — a caller-supplied til_members whose grouping
+                # differs from the default URL formula must aggregate
+                # under ITS groups
+                release_members = declared.select("url", "til_group") \
+                    .join(releasing, "til_group", "left_semi")
+                fresh = (spark.read.parquet(self._pages_out())
+                         .select("url", "tile_x", "tile_y")
+                         .join(release_members.select("url"),
+                               "url", "left_semi")
+                         .dropDuplicates(["url"])
+                         .join(release_members, "url")
+                         .groupBy("til_group")
+                         .agg(F.count(F.lit(1)).alias("member_count"),
+                              F.countDistinct("tile_x", "tile_y")
+                               .alias("n_tiles")))
+                if not fresh.isEmpty():
+                    fresh.withColumn("finalized_run",
+                                     F.lit(self.run_id)) \
+                        .write.mode("append").parquet(self._til_out())
 
         out = {
             "page_tiles": spark.read.parquet(self._pages_out())
