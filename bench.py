@@ -105,8 +105,9 @@ def main() -> None:
         "knn_per_cell", "dedup_latest", "minhash_lsh_pairs",
         "cosine_topk", "pricing_summary", "ngram_jaccard",
         "top_tokens", "ivf_topk", "salted_cell_payloads",
-        "rasterize_tiles", "pip_join_convex", "pyramid_resample",
-        "kmeans_assign", "chunk_documents", "sq_encode"]
+        "rasterize_tiles", "pip_join_convex", "pip_join_ring",
+        "pyramid_resample", "kmeans_assign", "chunk_documents",
+        "sq_encode"]
     for qname in qnames:
         q = contract.QUERIES[qname]
         bench(qname, lambda q=q: q(spark, SF_DIR)

@@ -1978,12 +1978,26 @@ def q_pip_join_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "polygon_id")
 
 
+def q_pip_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 complete: exact containment in ARBITRARY simple rings — the
+    fixture stars are non-convex (alternating reflex corners), so the
+    even-odd ray cast is load-bearing: the convex all-edges test would
+    misclassify the notch regions. Same broadcast-cover plan, pages
+    never shuffle."""
+    from optimizerasters_spark.pages import synth_ring_polys
+    p = synth_pages(spark, sf_dir)
+    out = spatial.pip_join_ring(p, synth_ring_polys(spark))
+    return out.select("doc_id", "polygon_id")
+
+
 QUERIES.update({"training_flagship": q_training_flagship,
                 "salted_topk": q_salted_topk,
-                "pip_join_convex": q_pip_join_convex})
+                "pip_join_convex": q_pip_join_convex,
+                "pip_join_ring": q_pip_join_ring})
 ORACLES["salted_topk"] = ORACLES["top_customers_per_nation"]
 
 from optimizerasters_spark.pages import HEX_POLYS_CTE  # noqa: E402
+from optimizerasters_spark.pages import RING_POLYS_CTE  # noqa: E402
 
 def q_pyramid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 with the reference's NON-associative resamplers: iterative
@@ -2118,6 +2132,23 @@ FROM pages p JOIN hexpolys q
            >= 0)) = 6
 """
 
+ORACLES["pip_join_ring"] = f"""
+{_W},
+{RING_POLYS_CTE.strip()}
+SELECT p.doc_id, q.polygon_id
+FROM pages p JOIN ringpolys q
+  ON len(list_filter(generate_series(1, 8),
+       k -> ((q.v[k].y > p.lat_md) <> (q.v[(k % 8) + 1].y > p.lat_md))
+        AND (CASE WHEN q.v[(k % 8) + 1].y > q.v[k].y
+             THEN ((q.v[(k % 8) + 1].x - q.v[k].x) * (p.lat_md - q.v[k].y)
+                 - (q.v[(k % 8) + 1].y - q.v[k].y) * (p.lon_md - q.v[k].x))
+                 > 0
+             ELSE ((q.v[(k % 8) + 1].x - q.v[k].x) * (p.lat_md - q.v[k].y)
+                 - (q.v[(k % 8) + 1].y - q.v[k].y) * (p.lon_md - q.v[k].x))
+                 < 0
+             END))) % 2 = 1
+"""
+
 ORACLES.update({
     "training_flagship": """
 WITH reps AS (
@@ -2194,20 +2225,36 @@ GROUP BY lang
 
 def q_geoparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coordinate extraction from text into integer millidegrees (the
-    operator that PRODUCES lon/lat for the tiling pipeline): a third of
-    the fixture docs embed a "lat=D.D lon=D.D" pair, the rest parse to
-    NULL."""
+    operator that PRODUCES lon/lat for the tiling pipeline): the fixture
+    embeds all three pattern-matrix formats — labeled "lat=D.D lon=D.D"
+    (doc_id%6==0), hemisphere "D.D° N D.D° E" (%6==2), bare comma pair
+    "D.D,-D.D" (%6==4) — and the rest parse to NULL."""
     from optimizerasters_spark.operators import web
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     i = F.col("doc_id")
-    coord = F.concat(
-        F.lit(" lat="), ((i % 179) - 89).cast("string"),
-        F.lit("."), (i % 10000).cast("string"),
-        F.lit(" lon="), ((i % 359) - 179).cast("string"),
-        F.lit("."), ((i * 7) % 1000).cast("string"), F.lit(" "))
+    lat_i = (i % 179) - 89
+    lat_f = (i % 10000).cast("string")
+    lon_i = (i % 359) - 179
+    lon_f = ((i * 7) % 1000).cast("string")
+    labeled = F.concat(
+        F.lit(" lat="), lat_i.cast("string"), F.lit("."), lat_f,
+        F.lit(" lon="), lon_i.cast("string"), F.lit("."), lon_f,
+        F.lit(" "))
+    degrees = F.concat(
+        F.lit(" "), F.abs(lat_i).cast("string"), F.lit("."), lat_f,
+        F.lit("° "), F.when(lat_i < 0, "S").otherwise("N"),
+        F.lit(" "), F.abs(lon_i).cast("string"), F.lit("."), lon_f,
+        F.lit("° "), F.when(lon_i < 0, "W").otherwise("E"),
+        F.lit(" "))
+    pair = F.concat(
+        F.lit(" "), lat_i.cast("string"), F.lit("."), lat_f,
+        F.lit(","), lon_i.cast("string"), F.lit("."), lon_f,
+        F.lit(" "))
     fixture = d.withColumn(
         "text",
-        F.when(i % 3 == 0, F.concat(F.col("text"), coord))
+        F.when(i % 6 == 0, F.concat(F.col("text"), labeled))
+         .when(i % 6 == 2, F.concat(F.col("text"), degrees))
+         .when(i % 6 == 4, F.concat(F.col("text"), pair))
          .otherwise(F.col("text")))
     out = web.geoparse(fixture)
     return out.select("doc_id", "geo_lat_md", "geo_lon_md")
@@ -2288,7 +2335,8 @@ SELECT doc_id, width, height,
   CAST(scale_micro AS BIGINT) AS scale_micro,
   sha256(substr(text, 1,
     CAST(GREATEST((width * scale_micro) // 1000000, 1) AS INT)))
-    AS thumb_sha
+    AS thumb_sha,
+  TRUE AS resize_ok
 FROM s
 """
 
@@ -2316,28 +2364,69 @@ ORACLES.update({
     "geoparse": """
 WITH f AS (
   SELECT doc_id,
-    CASE WHEN doc_id % 3 = 0 THEN text || ' lat='
-      || CAST((doc_id % 179) - 89 AS VARCHAR) || '.'
-      || CAST(doc_id % 10000 AS VARCHAR) || ' lon='
-      || CAST((doc_id % 359) - 179 AS VARCHAR) || '.'
-      || CAST((doc_id * 7) % 1000 AS VARCHAR) || ' '
-    ELSE text END AS text
+    CASE
+      WHEN doc_id % 6 = 0 THEN text || ' lat='
+        || CAST((doc_id % 179) - 89 AS VARCHAR) || '.'
+        || CAST(doc_id % 10000 AS VARCHAR) || ' lon='
+        || CAST((doc_id % 359) - 179 AS VARCHAR) || '.'
+        || CAST((doc_id * 7) % 1000 AS VARCHAR) || ' '
+      WHEN doc_id % 6 = 2 THEN text || ' '
+        || CAST(ABS((doc_id % 179) - 89) AS VARCHAR) || '.'
+        || CAST(doc_id % 10000 AS VARCHAR) || '° '
+        || (CASE WHEN (doc_id % 179) - 89 < 0 THEN 'S' ELSE 'N' END)
+        || ' '
+        || CAST(ABS((doc_id % 359) - 179) AS VARCHAR) || '.'
+        || CAST((doc_id * 7) % 1000 AS VARCHAR) || '° '
+        || (CASE WHEN (doc_id % 359) - 179 < 0 THEN 'W' ELSE 'E' END)
+        || ' '
+      WHEN doc_id % 6 = 4 THEN text || ' '
+        || CAST((doc_id % 179) - 89 AS VARCHAR) || '.'
+        || CAST(doc_id % 10000 AS VARCHAR) || ','
+        || CAST((doc_id % 359) - 179 AS VARCHAR) || '.'
+        || CAST((doc_id * 7) % 1000 AS VARCHAR) || ' '
+      ELSE text END AS text
   FROM documents),
 m AS (
   SELECT doc_id,
     regexp_extract(text,
       'lat=(-?\\d{1,2})\\.(\\d{1,6}) lon=(-?\\d{1,3})\\.(\\d{1,6})',
-      ['a', 'b', 'c', 'd']) AS g
+      ['a', 'b', 'c', 'd']) AS g1,
+    regexp_extract(text,
+      '(\\d{1,2})\\.(\\d{1,6})° ([NS]) (\\d{1,3})\\.(\\d{1,6})° ([EW])',
+      ['a', 'b', 'ns', 'c', 'd', 'ew']) AS g2,
+    regexp_extract(text,
+      '(-?\\d{1,2})\\.(\\d{1,6}),(-?\\d{1,3})\\.(\\d{1,6})',
+      ['a', 'b', 'c', 'd']) AS g3
   FROM f)
 SELECT doc_id,
-  CASE WHEN g.a <> '' THEN
-    (CASE WHEN g.a LIKE '-%' THEN -1 ELSE 1 END) *
-    (ABS(CAST(g.a AS BIGINT)) * 1000 +
-     CAST(substr(rpad(g.b, 3, '0'), 1, 3) AS BIGINT)) END AS geo_lat_md,
-  CASE WHEN g.a <> '' THEN
-    (CASE WHEN g.c LIKE '-%' THEN -1 ELSE 1 END) *
-    (ABS(CAST(g.c AS BIGINT)) * 1000 +
-     CAST(substr(rpad(g.d, 3, '0'), 1, 3) AS BIGINT)) END AS geo_lon_md
+  CASE
+    WHEN g1.a <> '' THEN
+      (CASE WHEN g1.a LIKE '-%' THEN -1 ELSE 1 END) *
+      (ABS(CAST(g1.a AS BIGINT)) * 1000 +
+       CAST(substr(rpad(g1.b, 3, '0'), 1, 3) AS BIGINT))
+    WHEN g2.a <> '' THEN
+      (CASE WHEN g2.ns = 'S' THEN -1 ELSE 1 END) *
+      (CAST(g2.a AS BIGINT) * 1000 +
+       CAST(substr(rpad(g2.b, 3, '0'), 1, 3) AS BIGINT))
+    WHEN g3.a <> '' THEN
+      (CASE WHEN g3.a LIKE '-%' THEN -1 ELSE 1 END) *
+      (ABS(CAST(g3.a AS BIGINT)) * 1000 +
+       CAST(substr(rpad(g3.b, 3, '0'), 1, 3) AS BIGINT))
+  END AS geo_lat_md,
+  CASE
+    WHEN g1.a <> '' THEN
+      (CASE WHEN g1.c LIKE '-%' THEN -1 ELSE 1 END) *
+      (ABS(CAST(g1.c AS BIGINT)) * 1000 +
+       CAST(substr(rpad(g1.d, 3, '0'), 1, 3) AS BIGINT))
+    WHEN g2.a <> '' THEN
+      (CASE WHEN g2.ew = 'W' THEN -1 ELSE 1 END) *
+      (CAST(g2.c AS BIGINT) * 1000 +
+       CAST(substr(rpad(g2.d, 3, '0'), 1, 3) AS BIGINT))
+    WHEN g3.a <> '' THEN
+      (CASE WHEN g3.c LIKE '-%' THEN -1 ELSE 1 END) *
+      (ABS(CAST(g3.c AS BIGINT)) * 1000 +
+       CAST(substr(rpad(g3.d, 3, '0'), 1, 3) AS BIGINT))
+  END AS geo_lon_md
 FROM m
 """,
     "url_parts": f"""
@@ -2383,33 +2472,39 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 # that hard-signal window; long-stable veterans rotate behind position 50
 # — they keep their oracles and stay verified by tests/test_oracle_parity.
 GATE_PRIORITY = [
-    # round-2 additions that never got a driver-gate row (VERDICT r02 §1)
-    "til_finalize", "ledger_resolve", "encoder_matrix", "ivf_topk",
-    "url_encode", "output_ext", "dir_depth", "proxy_paths",
-    "rolling_fingerprint", "cell_histogram", "embedding_near_dup_lsh",
-    "cell_encode", "free_space_scan_dist",
-    # round-3 additions (registered above if implemented)
-    "ivf_train", "kmeans_assign", "training_flagship", "salted_topk",
-    "pip_join_convex", "pyramid_resample", "chunk_documents",
-    "html_extract", "sq_encode", "geoparse", "url_parts", "domain_cap",
-    "hash_sample", "asof_join", "media_resize",
-    # veterans whose implementation changed this round — re-verify first
-    "pip_join_left", "proxy_csv", "tile_manifest", "free_space_scan",
-    "pip_join",
-    # remaining veterans, most complex plans first
-    "tile_counts_pyramid", "knn_per_cell", "dedup_latest",
-    "minhash_lsh_pairs", "ngram_jaccard", "simhash_ann",
+    # round-4 NEW or CHANGED queries — must take a fresh r04 gate row
+    "pip_join_ring",        # NEW: arbitrary-ring even-odd PIP
+    "geoparse",             # CHANGED: 3-format pattern matrix + fixture
+    "media_resize",         # CHANGED: resize_ok dead-letter column
+    "encoder_matrix",       # encoder.py changed (argv parity)
+    "til_finalize",         # engine til_finalize stage rewritten
+    # the 28 queries whose last gate row is r02 (VERDICT r03 'Next
+    # round' #5: rotate veterans so no row goes >1 round stale)
+    "pages_synth", "tile_assign", "path_classify", "hashkey_path",
+    "sniff_dispatch", "job_success", "timing_pivot", "pyramid_factors",
+    "path_functions", "dedup_exact", "token_count", "quality_score",
+    "lang_id", "fingerprint", "pricing_summary",
+    "top_customers_per_nation", "media_decode", "frame_sample",
+    "events_json", "sessionize", "lang_source_rollup", "set_ops",
+    "tile_bin_counts", "rasterize_tiles", "vectorize_tiles",
+    "distinct_users", "top_tokens", "value_percentiles",
+    # fill the window with the most complex / highest-value plans so
+    # their rows stay fresh too (remaining queries ride their green r03
+    # rows with implementations unchanged since that gate ran)
+    "training_flagship", "minhash_lsh_pairs", "ngram_jaccard",
+    "ivf_train", "kmeans_assign", "sq_encode", "chunk_documents",
+    "html_extract", "pip_join", "pip_join_left", "pip_join_convex",
+    "knn_per_cell", "dedup_latest", "asof_join", "url_parts",
+    "domain_cap", "hash_sample",
+    # ------------------- gate-window boundary (50) -----------------------
+    "ledger_resolve", "ivf_topk", "url_encode", "output_ext",
+    "dir_depth", "proxy_paths", "rolling_fingerprint", "cell_histogram",
+    "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",
+    "salted_topk", "pyramid_resample", "proxy_csv", "tile_manifest",
+    "free_space_scan", "tile_counts_pyramid", "simhash_ann",
     "embedding_near_dup", "cosine_topk", "knn_kring", "knn_kring_df",
     "salted_join", "salted_cell_payloads", "til_barrier", "til_members",
-    "stem_groups", "assoc_join", "resume_pending", "job_success",
-    "timing_pivot", "pyramid_factors", "media_decode", "frame_sample",
-    "tile_bin_counts", "rasterize_tiles", "vectorize_tiles", "top_tokens",
-    "sessionize", "lang_source_rollup", "set_ops", "tile_assign",
-    # ------- gate-window boundary (50) when all round-3 names exist ------
-    "value_percentiles", "pricing_summary", "top_customers_per_nation",
-    "dedup_exact", "token_count", "quality_score", "lang_id",
-    "fingerprint", "path_classify", "hashkey_path", "sniff_dispatch",
-    "path_functions", "events_json", "distinct_users", "pages_synth",
+    "stem_groups", "assoc_join", "resume_pending",
 ]
 
 QUERIES = {**{n: QUERIES[n] for n in GATE_PRIORITY if n in QUERIES},

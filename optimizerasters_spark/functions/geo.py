@@ -73,6 +73,32 @@ def make_convex_pip_udf():
     return inside_convex
 
 
+def make_ring_pip_udf():
+    """Arrow-vectorized twin of spatial._inside_ring: even-odd ray cast
+    over ARBITRARY simple rings in one numpy batch — (rows x nverts)
+    int64 matrices, no per-row Python. This is the exact slot a
+    shapely/GEOS `contains` swaps into (shapely.vectorized / STRtree
+    per batch); the twin test asserting UDF == Catalyst filter+size
+    keeps the boundary value-exact so the swap cannot drift
+    semantics."""
+
+    @pandas_udf("boolean")
+    def inside_ring(lon_md: pd.Series, lat_md: pd.Series,
+                    vx: pd.Series, vy: pd.Series) -> pd.Series:
+        import numpy as np
+        X = np.stack(vx.to_numpy())          # (rows, nverts) int64
+        Y = np.stack(vy.to_numpy())
+        px = lon_md.to_numpy()[:, None]
+        py = lat_md.to_numpy()[:, None]
+        Xn, Yn = np.roll(X, -1, axis=1), np.roll(Y, -1, axis=1)
+        straddle = (Y > py) != (Yn > py)
+        cross = (Xn - X) * (py - Y) - (Yn - Y) * (px - X)
+        right = np.where(Yn > Y, cross > 0, cross < 0)
+        return pd.Series(((straddle & right).sum(axis=1) % 2) == 1)
+
+    return inside_ring
+
+
 def make_haversine_udf():
     """Great-circle distance in km, vectorized with numpy (the exact-geo
     refinement hook for kNN; the engine's ranking path stays on integer

@@ -104,7 +104,8 @@ def sample_frames(media: DataFrame, every_n: int = 10,
 
 
 RESIZE_OUT_SCHEMA = ("doc_id BIGINT, width INT, height INT, out_w INT, "
-                     "out_h INT, scale_micro BIGINT, thumb_sha STRING")
+                     "out_h INT, scale_micro BIGINT, thumb_sha STRING, "
+                     "resize_ok BOOLEAN")
 
 
 def resize_images(media: DataFrame, target_w: int = 256,
@@ -116,28 +117,38 @@ def resize_images(media: DataFrame, target_w: int = 256,
     content hash. The 'thumbnail' is a deterministic byte-prefix slice —
     a real resampler (PIL.thumbnail) replaces the slicer; the Spark
     shape (mapInPandas, fixed-width outputs, integer scale math) is the
-    production one and the whole stage stays SQL-oracle-checkable."""
+    production one and the whole stage stays SQL-oracle-checkable.
+    Rows whose buffer fails to decode surface as resize_ok=false
+    (decode_images' dead-letter pattern) instead of failing the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         M = 1000000
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height", "out_w",
-                                   "out_h", "scale_micro", "thumb_sha")}
+                                   "out_h", "scale_micro", "thumb_sha",
+                                   "resize_ok")}
             for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
                 data = bytes(buf) if buf is not None else b""
-                w, h, _, _ = decoder(data)
-                scale = min(M, (target_w * M) // w, (target_h * M) // h)
-                ow = max((w * scale) // M, 1)
-                oh = max((h * scale) // M, 1)
+                try:
+                    w, h, _, _ = decoder(data)
+                    scale = min(M, (target_w * M) // w,
+                                (target_h * M) // h)
+                    ow = max((w * scale) // M, 1)
+                    oh = max((h * scale) // M, 1)
+                    sha = hashlib.sha256(data[:ow]).hexdigest()
+                    ok = True
+                except Exception:
+                    w = h = ow = oh = scale = 0
+                    sha, ok = "", False
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["out_w"].append(ow)
                 out["out_h"].append(oh)
                 out["scale_micro"].append(scale)
-                out["thumb_sha"].append(
-                    hashlib.sha256(data[:ow]).hexdigest())
+                out["thumb_sha"].append(sha)
+                out["resize_ok"].append(ok)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, RESIZE_OUT_SCHEMA)

@@ -263,6 +263,56 @@ def pip_join_convex(pages: DataFrame, polys: DataFrame,
         .drop("cell", "vertices")
 
 
+def _inside_ring(lon, lat, vertices) -> F.Column:
+    """Point inside an ARBITRARY simple ring (convexity not required) by
+    the even-odd ray cast: shoot a +x horizontal ray from the point and
+    count edges that straddle its y and cross strictly to the right.
+    Integer-exact: the crossing-x comparison is the sign of the
+    edge-point cross product matched against the edge's y direction —
+    no division, no epsilon, oracle-identical on any engine. Boundary
+    semantics are the half-open convention of the classic PNPOLY test
+    (deterministic; a point exactly on an edge lands consistently)."""
+    n = F.size(vertices)
+    edges = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            F.get(vertices, i).alias("a"),
+            F.get(vertices, F.pmod(i + 1, n)).alias("b")))
+
+    def crossing(e):
+        a, b = e["a"], e["b"]
+        straddle = (a["y"] > lat) != (b["y"] > lat)
+        cross = ((b["x"] - a["x"]) * (lat - a["y"]) -
+                 (b["y"] - a["y"]) * (lon - a["x"]))
+        right = F.when(b["y"] > a["y"], cross > 0).otherwise(cross < 0)
+        return straddle & right
+
+    return F.size(F.filter(edges, crossing)) % 2 == 1
+
+
+def pip_join_ring(pages: DataFrame, polys: DataFrame,
+                  cell_md: int = COVER_CELL_MD) -> DataFrame:
+    """Point-in-polygon join against ARBITRARY simple rings (non-convex
+    admin boundaries — the real-boundary shape SURVEY §2.3 J4 calls
+    for; the reference delegates the equivalent grid containment to
+    GDAL georeferencing, OptimizeRasters.py:1404-1416). Same plan as
+    pip_join_convex: bbox-cell cover equi-join (broadcast — pages never
+    shuffle), then exact even-odd ray-cast refinement entirely in
+    Catalyst (filter + size over the vertex array — no UDF). A
+    shapely-backed pandas-UDF refiner slots into the same candidate
+    stream (functions/geo.make_ring_pip_udf is the Arrow twin, held
+    value-equal by test)."""
+    cover = polygon_vertices_cover(polys, cell_md)
+    cands = pages.withColumn(
+        "cell",
+        tiling.pack_cell_col(F.floor(F.col("lon_md") / cell_md),
+                             F.floor(F.col("lat_md") / cell_md)),
+    ).join(F.broadcast(cover), "cell")
+    return cands.where(_inside_ring(F.col("lon_md"), F.col("lat_md"),
+                                    F.col("vertices"))) \
+        .drop("cell", "vertices")
+
+
 def knn_per_query(pages: DataFrame, query_points: list[tuple[int, int, int]],
                   k: int = 5, radius_md: int = 1000) -> DataFrame:
     """Radius-bounded kNN: for each (query_id, qlon_md, qlat_md) return the

@@ -28,8 +28,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-# sign? integer . fraction — captured parts: lat sign+int+frac, lon ditto
+# the pattern matrix, tried in priority order; captured parts: lat
+# sign-or-hemisphere + int + frac, lon ditto
+# 1. "lat=12.345 lon=-67.89"
 _COORD_RX = (r"lat=(-?\d{1,2})\.(\d{1,6}) lon=(-?\d{1,3})\.(\d{1,6})")
+# 2. "12.345° N 67.89° E" (hemisphere letters carry the sign)
+_COORD_DEG_RX = (r"(\d{1,2})\.(\d{1,6})° ([NS]) "
+                 r"(\d{1,3})\.(\d{1,6})° ([EW])")
+# 3. bare "12.345,-67.89" decimal pair (most generic — tried last)
+_COORD_PAIR_RX = (r"(-?\d{1,2})\.(\d{1,6}),(-?\d{1,3})\.(\d{1,6})")
 
 
 def _md(int_part: Column, frac_part: Column) -> Column:
@@ -43,20 +50,42 @@ def _md(int_part: Column, frac_part: Column) -> Column:
 
 
 def geoparse(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Extract the first "lat=D.D lon=D.D" coordinate pair into
-    (geo_lat_md, geo_lon_md) millidegrees; NULL when absent. A model-
-    based geoparser replaces the regex behind the same two columns."""
+    """Extract the first coordinate pair into (geo_lat_md, geo_lon_md)
+    millidegrees; NULL when no pattern matches. Three formats, first
+    match in priority order wins: "lat=12.345 lon=-67.89", then
+    "12.345° N 67.89° E" (hemisphere letters), then a bare
+    "12.345,-67.89" decimal pair. All parsing is regex + integer math
+    (codegen); a model-based geoparser replaces the pattern matrix
+    behind the same two columns."""
     t = F.col(text_col)
-    lat_i = F.regexp_extract(t, _COORD_RX, 1)
-    lat_f = F.regexp_extract(t, _COORD_RX, 2)
-    lon_i = F.regexp_extract(t, _COORD_RX, 3)
-    lon_f = F.regexp_extract(t, _COORD_RX, 4)
-    has = lat_i != ""
+    # format 1: lat=/lon= labels, sign on the number
+    la1_i = F.regexp_extract(t, _COORD_RX, 1)
+    lat1 = _md(la1_i, F.regexp_extract(t, _COORD_RX, 2))
+    lon1 = _md(F.regexp_extract(t, _COORD_RX, 3),
+               F.regexp_extract(t, _COORD_RX, 4))
+    # format 2: degree symbol + hemisphere letter carries the sign
+    la2_i = F.regexp_extract(t, _COORD_DEG_RX, 1)
+    ns = F.regexp_extract(t, _COORD_DEG_RX, 3)
+    ew = F.regexp_extract(t, _COORD_DEG_RX, 6)
+    lat2 = F.when(ns == "S", -1).otherwise(1) * \
+        _md(la2_i, F.regexp_extract(t, _COORD_DEG_RX, 2))
+    lon2 = F.when(ew == "W", -1).otherwise(1) * \
+        _md(F.regexp_extract(t, _COORD_DEG_RX, 4),
+            F.regexp_extract(t, _COORD_DEG_RX, 5))
+    # format 3: bare comma pair
+    la3_i = F.regexp_extract(t, _COORD_PAIR_RX, 1)
+    lat3 = _md(la3_i, F.regexp_extract(t, _COORD_PAIR_RX, 2))
+    lon3 = _md(F.regexp_extract(t, _COORD_PAIR_RX, 3),
+               F.regexp_extract(t, _COORD_PAIR_RX, 4))
+    lat = (F.when(la1_i != "", lat1)
+            .when(la2_i != "", lat2)
+            .when(la3_i != "", lat3))
+    lon = (F.when(la1_i != "", lon1)
+            .when(la2_i != "", lon2)
+            .when(la3_i != "", lon3))
     return (docs
-            .withColumn("geo_lat_md",
-                        F.when(has, _md(lat_i, lat_f)).cast("bigint"))
-            .withColumn("geo_lon_md",
-                        F.when(has, _md(lon_i, lon_f)).cast("bigint")))
+            .withColumn("geo_lat_md", lat.cast("bigint"))
+            .withColumn("geo_lon_md", lon.cast("bigint")))
 
 
 def url_parts(pages: DataFrame, url_col: str = "url") -> DataFrame:

@@ -196,6 +196,44 @@ def synth_convex_polys(spark: SparkSession) -> DataFrame:
     return p.select("polygon_id", verts.alias("vertices"))
 
 
+# Non-convex (4-pointed star) integer rings for the arbitrary-ring PIP
+# join: outer/inner vertices alternate, so every other vertex is a
+# reflex corner — the even-odd ray cast is required, the convex
+# all-edges test would be wrong. Same center grid as the hexagons.
+RING_OFFSETS = [(3, 0), (1, 1), (0, 3), (-1, 1),
+                (-3, 0), (-1, -1), (0, -3), (1, -1)]
+
+
+def synth_ring_polys(spark: SparkSession) -> DataFrame:
+    p = spark.range(N_HEX).select(
+        F.col("id").cast("bigint").alias("polygon_id"),
+        ((F.col("id") % 8) * 45000 + 20000).cast("bigint").alias("cx"),
+        (F.floor(F.col("id") / 8).cast("bigint") * 34000 + 17000)
+            .alias("cy"),
+        (1000 + (F.col("id") % 5) * 500).cast("bigint").alias("r"))
+    verts = F.array(*[
+        F.struct((F.col("cx") + ox * F.col("r")).cast("bigint").alias("x"),
+                 (F.col("cy") + oy * F.col("r")).cast("bigint").alias("y"))
+        for ox, oy in RING_OFFSETS])
+    return p.select("polygon_id", verts.alias("vertices"))
+
+
+RING_POLYS_CTE = """
+ringpolys AS (
+  SELECT pid AS polygon_id,
+    list_transform(
+      [{'ox': 3, 'oy': 0}, {'ox': 1, 'oy': 1}, {'ox': 0, 'oy': 3},
+       {'ox': -1, 'oy': 1}, {'ox': -3, 'oy': 0}, {'ox': -1, 'oy': -1},
+       {'ox': 0, 'oy': -3}, {'ox': 1, 'oy': -1}],
+      o -> {'x': cx + o.ox * r, 'y': cy + o.oy * r}) AS v
+  FROM (SELECT CAST(pid AS BIGINT) AS pid,
+               CAST((pid % 8) * 45000 + 20000 AS BIGINT) AS cx,
+               CAST((pid // 8) * 34000 + 17000 AS BIGINT) AS cy,
+               CAST(1000 + (pid % 5) * 500 AS BIGINT) AS r
+        FROM generate_series(0, 39) t(pid)))
+"""
+
+
 HEX_POLYS_CTE = """
 hexpolys AS (
   SELECT pid AS polygon_id,

@@ -1,41 +1,74 @@
 """Gate-window registration order: the driver's correctness gate
-evaluates the first 50 entries of contract.QUERIES in dict order, so the
-never-gated round-2 queries and every round-3 addition must sit inside
-that window (VERDICT r02 'Next round' item 1)."""
+evaluates the first 50 entries of contract.QUERIES in dict order. The
+round-4 invariant (VERDICT r03 'Next round' #5): every query whose last
+hard-signal row is r02, plus every query added or changed in round 4,
+sits inside the window — so CORRECTNESS_r04 ∪ r03 covers ALL registered
+queries with rows at most one round old."""
 
 from optimizerasters_spark import contract
 
-NEVER_GATED_R02 = [
+# new or behavior-changed in round 4 — need a fresh r04 row
+R04_NEW_OR_CHANGED = [
+    "pip_join_ring", "geoparse", "media_resize", "encoder_matrix",
+    "til_finalize",
+]
+
+# queries whose last gate row is r02 (rotated out of the r03 window)
+R02_VETERANS = [
+    "pages_synth", "tile_assign", "path_classify", "hashkey_path",
+    "sniff_dispatch", "job_success", "timing_pivot", "pyramid_factors",
+    "path_functions", "dedup_exact", "token_count", "quality_score",
+    "lang_id", "fingerprint", "pricing_summary",
+    "top_customers_per_nation", "media_decode", "frame_sample",
+    "events_json", "sessionize", "lang_source_rollup", "set_ops",
+    "tile_bin_counts", "rasterize_tiles", "vectorize_tiles",
+    "distinct_users", "top_tokens", "value_percentiles",
+]
+
+# green rows in CORRECTNESS_r03.json (the driver's r03 gate window)
+R03_GREEN = {
     "til_finalize", "ledger_resolve", "encoder_matrix", "ivf_topk",
     "url_encode", "output_ext", "dir_depth", "proxy_paths",
     "rolling_fingerprint", "cell_histogram", "embedding_near_dup_lsh",
-    "cell_encode", "free_space_scan_dist",
-]
+    "cell_encode", "free_space_scan_dist", "ivf_train", "kmeans_assign",
+    "training_flagship", "salted_topk", "pip_join_convex",
+    "pyramid_resample", "chunk_documents", "html_extract", "sq_encode",
+    "geoparse", "url_parts", "domain_cap", "hash_sample", "asof_join",
+    "media_resize", "pip_join_left", "proxy_csv", "tile_manifest",
+    "free_space_scan", "pip_join", "tile_counts_pyramid", "knn_per_cell",
+    "dedup_latest", "minhash_lsh_pairs", "ngram_jaccard", "simhash_ann",
+    "embedding_near_dup", "cosine_topk", "knn_kring", "knn_kring_df",
+    "salted_join", "salted_cell_payloads", "til_barrier", "til_members",
+    "stem_groups", "assoc_join", "resume_pending",
+}
 
 GATE_WINDOW = 50
 
 
-def test_never_gated_queries_in_gate_window():
+def test_new_and_changed_queries_in_gate_window():
     window = list(contract.QUERIES)[:GATE_WINDOW]
-    missing = [n for n in NEVER_GATED_R02 if n not in window]
-    assert not missing, f"outside the 50-entry gate window: {missing}"
+    missing = [n for n in R04_NEW_OR_CHANGED if n not in window]
+    assert not missing, f"r04 new/changed outside gate window: {missing}"
 
 
-def test_round3_queries_in_gate_window():
+def test_r02_veterans_rotated_into_gate_window():
     window = list(contract.QUERIES)[:GATE_WINDOW]
-    added = [n for n in ("ivf_train", "kmeans_assign", "training_flagship",
-                         "salted_topk", "pip_join_convex",
-                         "pyramid_resample", "chunk_documents",
-                         "html_extract", "sq_encode", "geoparse",
-                         "url_parts", "domain_cap", "hash_sample", "asof_join", "media_resize")
-             if n in contract.QUERIES]
-    missing = [n for n in added if n not in window]
-    assert not missing, f"round-3 additions outside gate window: {missing}"
+    missing = [n for n in R02_VETERANS if n not in window]
+    assert not missing, f"r02-row veterans outside gate window: {missing}"
+
+
+def test_every_query_has_a_fresh_row_source():
+    """Window ∪ r03-green must cover every registered query: anything
+    outside the window must already hold a green r03 row."""
+    window = set(list(contract.QUERIES)[:GATE_WINDOW])
+    stale = [n for n in contract.QUERIES
+             if n not in window and n not in R03_GREEN]
+    assert not stale, f"queries with no fresh gate-row source: {stale}"
 
 
 def test_reorder_loses_no_queries():
     # every registered query survived the reorder and still has its oracle
-    assert len(contract.QUERIES) >= 63
+    assert len(contract.QUERIES) >= 79
     assert len(set(contract.QUERIES)) == len(contract.QUERIES)
     no_oracle = [n for n in contract.QUERIES if n not in contract.ORACLES]
     assert not no_oracle, f"queries without oracle SQL: {no_oracle}"
@@ -43,9 +76,8 @@ def test_reorder_loses_no_queries():
 
 def test_priority_list_names_exist():
     # a typo in GATE_PRIORITY would silently drop a query out of the
-    # window — every listed name must be registered or a declared
-    # round-3 placeholder
-    placeholders: set[str] = set()  # every priority name must exist now
+    # window — every listed name must be registered
     unknown = [n for n in contract.GATE_PRIORITY
-               if n not in contract.QUERIES and n not in placeholders]
+               if n not in contract.QUERIES]
     assert not unknown, f"GATE_PRIORITY names not registered: {unknown}"
+    assert len(contract.GATE_PRIORITY) == len(set(contract.GATE_PRIORITY))

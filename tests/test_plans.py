@@ -252,3 +252,16 @@ def test_pip_convex_never_shuffles_pages(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_pip_ring_never_shuffles_pages(spark, sf_dir):
+    """The arbitrary-ring exact PIP (even-odd ray cast) keeps the same
+    guarantee: broadcast cover, zero Exchange on the pages side, the
+    refinement inline in Catalyst — no UDF in the hot path."""
+    from optimizerasters_spark.pages import synth_ring_polys
+    p = synth_pages(spark, sf_dir)
+    j = spatial.pip_join_ring(p, synth_ring_polys(spark))
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

@@ -61,6 +61,24 @@ def test_decode_failure_is_dead_letter_not_task_failure(spark, sf_dir):
     assert bad == 5
 
 
+def test_resize_failure_is_dead_letter_not_task_failure(spark, sf_dir):
+    """ADVICE r03: resize_images mirrors decode_images' dead-letter
+    pattern — a null/empty buffer yields resize_ok=false, never a task
+    failure."""
+    m = multimodal.synth_media(synth_pages(spark, sf_dir).limit(10)) \
+        .withColumn("media", F.when(F.col("doc_id") % 2 == 0,
+                                    F.col("media")))
+    out = multimodal.resize_images(m)
+    rows = out.collect()
+    assert len(rows) == 10
+    bad = [r for r in rows if not r["resize_ok"]]
+    assert len(bad) == 5
+    assert all(r["out_w"] == 0 and r["thumb_sha"] == "" for r in bad)
+    good = [r for r in rows if r["resize_ok"]]
+    assert all(1 <= r["out_w"] <= 256 and 1 <= r["out_h"] <= 256
+               for r in good)
+
+
 def test_sample_frames_fanout(spark, sf_dir):
     m = multimodal.synth_media(synth_pages(spark, sf_dir).limit(20))
     out = multimodal.sample_frames(m, every_n=10, max_frames=4)

@@ -160,6 +160,87 @@ def test_convex_pip_udf_matches_catalyst(spark, sf_dir):
     assert both.where(F.col("cat")).count() > 0  # some points inside
 
 
+def test_ring_pip_udf_matches_catalyst(spark, sf_dir):
+    """The Arrow-vectorized even-odd ray cast must agree with the
+    Catalyst filter+size form on every candidate row — the twin test
+    that keeps the arbitrary-ring UDF slot (shapely/GEOS contains)
+    value-exact with the codegen path."""
+    from optimizerasters_spark.functions.geo import make_ring_pip_udf
+    from optimizerasters_spark.operators import spatial
+    from optimizerasters_spark.pages import synth_ring_polys
+
+    p = synth_pages(spark, sf_dir).select("doc_id", "lon_md", "lat_md")
+    polys = synth_ring_polys(spark)
+    cands = p.crossJoin(polys.where(F.col("polygon_id") < 6))
+    vx = F.transform("vertices", lambda v: v["x"])
+    vy = F.transform("vertices", lambda v: v["y"])
+    udf = make_ring_pip_udf()
+    both = cands.select(
+        "doc_id", "polygon_id",
+        spatial._inside_ring(F.col("lon_md"), F.col("lat_md"),
+                             F.col("vertices")).alias("cat"),
+        udf(F.col("lon_md"), F.col("lat_md"), vx, vy).alias("arrow"))
+    assert both.where(F.col("cat") != F.col("arrow")).count() == 0
+    assert both.where(F.col("cat")).count() > 0  # some points inside
+
+
+def test_ring_pip_nonconvexity_is_load_bearing(spark):
+    """The fixture stars have reflex corners: the point between two
+    arms sits inside the bbox AND inside the convex hull but OUTSIDE
+    the ring — the even-odd test must reject it where a convex-hull
+    test would accept. Plus a pure-Python ray-cast cross-check over a
+    deterministic point grid."""
+    from optimizerasters_spark.operators import spatial
+    from optimizerasters_spark.pages import RING_OFFSETS, synth_ring_polys
+
+    polys = synth_ring_polys(spark)
+    # polygon 0: center (20000, 17000), r = 1000
+    cx, cy, r = 20000, 17000, 1000
+    pts = [(0, cx, cy, True),                 # center: inside
+           (1, cx + 2 * r, cy, True),        # on the +x arm: inside
+           (2, cx + 2 * r, cy + 2 * r, False),  # between arms: OUT
+           (3, cx - 2 * r, cy - 2 * r, False),
+           (4, cx + 4 * r, cy, False)]       # beyond the arm tip
+    df = spark.createDataFrame(
+        [(i, x, y) for i, x, y, _ in pts],
+        "doc_id bigint, lon_md bigint, lat_md bigint")
+    got = {r_["doc_id"]: r_["ins"] for r_ in df.crossJoin(
+        polys.where(F.col("polygon_id") == 0)).select(
+        "doc_id",
+        spatial._inside_ring(F.col("lon_md"), F.col("lat_md"),
+                             F.col("vertices")).alias("ins")).collect()}
+    for i, _, _, want in pts:
+        assert got[i] == want, (i, got[i], want)
+
+    # pure-Python PNPOLY cross-check on a grid around polygon 0
+    verts = [(cx + ox * r, cy + oy * r) for ox, oy in RING_OFFSETS]
+
+    def py_inside(px, py):
+        inside = False
+        n = len(verts)
+        for k in range(n):
+            (ax, ay), (bx, by) = verts[k], verts[(k + 1) % n]
+            if (ay > py) != (by > py):
+                cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                if (cross > 0) if by > ay else (cross < 0):
+                    inside = not inside
+        return inside
+
+    grid = [(1000 + gx * 100 + gy, cx - 4 * r + gx * 250,
+             cy - 4 * r + gy * 250)
+            for gx in range(33) for gy in range(33)]
+    gdf = spark.createDataFrame(
+        grid, "doc_id bigint, lon_md bigint, lat_md bigint")
+    got2 = {r_["doc_id"]: r_["ins"] for r_ in gdf.crossJoin(
+        polys.where(F.col("polygon_id") == 0)).select(
+        "doc_id",
+        spatial._inside_ring(F.col("lon_md"), F.col("lat_md"),
+                             F.col("vertices")).alias("ins")).collect()}
+    for i, x, y in grid:
+        assert got2[i] == py_inside(x, y), (i, x, y)
+    assert sum(got2.values()) > 50  # the star interior is non-trivial
+
+
 def test_url_parts_multi_label_hosts(spark):
     """Domain = last two host labels regardless of label count; bare
     hosts pass through; path depth counts segments."""
