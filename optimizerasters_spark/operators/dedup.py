@@ -105,17 +105,21 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
 def ngram_jaccard_pairs(docs: DataFrame, num_hashes: int = 8,
                         bands: int = 4, shingle_n: int = 3,
                         text_col: str = "text",
-                        min_jaccard_micro: int = 0) -> DataFrame:
+                        min_jaccard_micro: int = 0,
+                        max_bucket: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard on LSH candidate pairs (doc_a < doc_b).
 
     Pipeline shape for 10^12 docs: candidates come from LSH (bounded),
     then ONE shuffle joins each pair to its two shingle sets via the
     exploded shingle table; intersection is a count, union from per-doc
     set sizes. jaccard_micro = floor(|A∩B| * 1e6 / |A∪B|) — exact
-    integers end to end."""
+    integers end to end. ``max_bucket`` passes through to the LSH stage
+    (degenerate-bucket n² guard); pair it with lsh_oversized_buckets so
+    whatever the cap drops is reported, never silent."""
     sh = exploded_shingles(docs, shingle_n, text_col)
     pairs = lsh_candidate_pairs(docs, num_hashes, bands, shingle_n,
-                                text_col, shingles=sh)
+                                text_col, shingles=sh,
+                                max_bucket=max_bucket)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")

@@ -31,7 +31,8 @@ def training_kept(docs: DataFrame,
                   jaccard_micro: int = JACCARD_MICRO,
                   min_tokens: int = MIN_TOKENS,
                   max_mean_wl_micro: int = MAX_MEAN_WL_MICRO,
-                  reps_path: str | None = None) -> DataFrame:
+                  reps_path: str | None = None,
+                  max_bucket: int | None = None) -> DataFrame:
     """Documents surviving dedup + near-dup removal + the quality gate,
     with the gate features attached.
 
@@ -42,14 +43,20 @@ def training_kept(docs: DataFrame,
     ReusedExchange collapses most of the duplication at runtime, a
     corpus-scale run wants the deduped table written once and every
     consumer scanning THAT (smaller) table instead of re-deriving it
-    from the raw corpus. Identical results either way."""
+    from the raw corpus. Identical results either way.
+
+    ``max_bucket`` caps degenerate LSH buckets (the n² guard a corpus
+    run needs); pair it with ``training_oversized_buckets`` over the
+    same input so everything the cap drops is reported — never cap
+    silently."""
     reps = docs.join(D.dedup_exact(docs).select("doc_id"),
                      "doc_id", "left_semi")
     if reps_path is not None:
         reps.write.mode("overwrite").parquet(reps_path)
         reps = docs.sparkSession.read.parquet(reps_path)
     victims = (D.ngram_jaccard_pairs(reps,
-                                     min_jaccard_micro=jaccard_micro)
+                                     min_jaccard_micro=jaccard_micro,
+                                     max_bucket=max_bucket)
                .select(F.col("doc_b").alias("doc_id")).distinct())
     kept = reps.join(victims, "doc_id", "left_anti")
     toks = T.tokens_col("text")
@@ -65,16 +72,31 @@ def training_kept(docs: DataFrame,
     return gated
 
 
+def training_oversized_buckets(docs: DataFrame,
+                               max_bucket: int = 1000) -> DataFrame:
+    """The LSH buckets a ``max_bucket`` cap excludes from the flagship's
+    near-dup stage, computed over the SAME exact-dedup survivors the
+    flagship feeds to LSH — (band_id, band_key, n_docs). Run this
+    alongside a capped training_kept/rollup so the capped families
+    surface in the job report and can be routed to a dedicated pass
+    (exact dedup already caught their byte-identical members)."""
+    reps = docs.join(D.dedup_exact(docs).select("doc_id"),
+                     "doc_id", "left_semi")
+    return D.lsh_oversized_buckets(reps, max_bucket=max_bucket)
+
+
 def training_flagship_rollup(docs: DataFrame,
                              jaccard_micro: int = JACCARD_MICRO,
                              min_tokens: int = MIN_TOKENS,
                              max_mean_wl_micro: int = MAX_MEAN_WL_MICRO,
-                             reps_path: str | None = None) -> DataFrame:
+                             reps_path: str | None = None,
+                             max_bucket: int | None = None) -> DataFrame:
     """Per-language corpus stats over the kept set — the pipeline's
     one-small-table answer (what a 100 TB run ships to the trainer's
     manifest)."""
     kept = training_kept(docs, jaccard_micro, min_tokens,
-                         max_mean_wl_micro, reps_path=reps_path)
+                         max_mean_wl_micro, reps_path=reps_path,
+                         max_bucket=max_bucket)
     return (kept.groupBy("lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("total_tokens"),
