@@ -2464,6 +2464,236 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 
 
 # ---------------------------------------------------------------------------
+# Batch 17 (round 4): corpus hygiene II — PII scrub, repetition quality,
+# benchmark decontamination, paragraph-level dedup, ring normalization
+# ---------------------------------------------------------------------------
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction with per-doc counts and a byte-exact
+    scrubbed-text sha — fixture plants emails (doc_id%5==0), phones
+    (%5==1), or both (%5==2)."""
+    from optimizerasters_spark.operators import web
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    email = F.concat(F.lit(" contact bob"), i.cast("string"),
+                     F.lit("@mail"), (i % 7).cast("string"),
+                     F.lit(".example.com "))
+    phone = F.concat(F.lit(" call 555-"),
+                     F.lpad((i % 1000).cast("string"), 3, "0"),
+                     F.lit("-"),
+                     F.lpad((i % 10000).cast("string"), 4, "0"),
+                     F.lit(" "))
+    fixture = d.withColumn(
+        "text",
+        F.when(i % 5 == 0, F.concat(F.col("text"), email))
+         .when(i % 5 == 1, F.concat(F.col("text"), phone))
+         .when(i % 5 == 2, F.concat(F.col("text"), email, phone))
+         .otherwise(F.col("text")))
+    return web.pii_scrub(fixture).select(
+        "doc_id", "n_emails", "n_phones", "scrub_sha")
+
+
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals over a multi-line fixture: even
+    docs repeat their first line, and every doc shares a boilerplate
+    footer line; bigram mode is the explode->count->max corpus shape."""
+    from optimizerasters_spark.operators import text as T
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    l1 = F.substring(F.col("text"), 1, 40)
+    l2 = F.substring(F.col("text"), 41, 40)
+    l3 = F.when(i % 2 == 0, l1).otherwise(F.substring(F.col("text"),
+                                                      81, 40))
+    fixture = d.withColumn(
+        "text",
+        F.concat_ws("\n", l1, l2, l3,
+                    F.lit("footer boilerplate line")))
+    return T.repetition_quality(fixture)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every doc sharing any 5-token n-gram
+    with the benchmark slice (doc_id%97==0) is flagged; clean docs
+    report n_hits=0."""
+    from optimizerasters_spark.operators import text as T
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return T.ngram_contamination(d, bench, n=5)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: 3-paragraph fixture docs where paragraph 1
+    is unique (doc_id-prefixed), paragraph 2 is shared across each
+    10-doc group, and paragraph 3 is global boilerplate — first
+    occurrence (lowest doc_id, then index) keeps each; the kept-text
+    sha is the byte-exact parity surface."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    p1 = F.concat(F.lit("doc "), i.cast("string"), F.lit(" "),
+                  F.substring(F.col("text"), 1, 40))
+    p2 = F.concat(F.lit("shared paragraph for group "),
+                  F.floor(i / 10).cast("string"))
+    fixture = d.withColumn(
+        "text",
+        F.concat_ws("\n", p1, p2, F.lit("global footer boilerplate")))
+    return dedup.paragraph_dedup(fixture)
+
+
+def q_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area + winding for vertex rings — the normalizer ahead
+    of both exact PIP refiners; fixture mixes CCW stars with their
+    reversed (CW) twins."""
+    from optimizerasters_spark.pages import synth_ring_polys
+    polys = synth_ring_polys(spark)
+    both = polys.unionByName(
+        polys.select((F.col("polygon_id") + 1000).alias("polygon_id"),
+                     F.reverse(F.col("vertices")).alias("vertices")))
+    return spatial.ring_stats(both)
+
+
+QUERIES.update({
+    "pii_scrub": q_pii_scrub,
+    "repetition_quality": q_repetition_quality,
+    "decontaminate": q_decontaminate,
+    "paragraph_dedup": q_paragraph_dedup,
+    "ring_stats": q_ring_stats,
+})
+
+ORACLES.update({
+    "pii_scrub": """
+WITH f AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 5 = 0 THEN text || ' contact bob'
+        || CAST(doc_id AS VARCHAR) || '@mail'
+        || CAST(doc_id % 7 AS VARCHAR) || '.example.com '
+      WHEN doc_id % 5 = 1 THEN text || ' call 555-'
+        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+      WHEN doc_id % 5 = 2 THEN text || ' contact bob'
+        || CAST(doc_id AS VARCHAR) || '@mail'
+        || CAST(doc_id % 7 AS VARCHAR) || '.example.com '
+        || ' call 555-'
+        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+      ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS BIGINT) AS n_phones,
+  sha256(regexp_replace(
+    regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS scrub_sha
+FROM f
+""",
+    "repetition_quality": """
+WITH f AS (
+  SELECT doc_id,
+    substr(text, 1, 40) || chr(10) || substr(text, 41, 40) || chr(10)
+    || (CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 40)
+        ELSE substr(text, 81, 40) END) || chr(10)
+    || 'footer boilerplate line' AS text
+  FROM documents),
+l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM f),
+lm AS (
+  SELECT doc_id, text,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_distinct(lines)) AS BIGINT) AS n_dist,
+    CAST(list_sum(list_transform(lines, ln ->
+      CASE WHEN len(list_filter(lines, x -> x = ln)) >= 2
+           THEN length(ln) ELSE 0 END)) AS BIGINT) AS dup_chars,
+    CAST(list_sum(list_transform(lines, ln -> length(ln)))
+      AS BIGINT) AS tot_chars
+  FROM l),
+tk AS (SELECT doc_id, text, n_lines, n_dist, dup_chars, tot_chars,
+         string_split(lower(text), ' ') AS t FROM lm),
+bg AS (
+  SELECT doc_id, n_lines, n_dist, dup_chars, tot_chars,
+    CAST(GREATEST(len(t) - 1, 0) AS BIGINT) AS n_bg,
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(generate_series(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i + 1])
+    ELSE [] END AS bgs
+  FROM tk)
+SELECT doc_id,
+  (n_lines - n_dist) * 1000000 // GREATEST(n_lines, 1)
+    AS dup_line_ratio_micro,
+  dup_chars * 1000000 // GREATEST(tot_chars, 1)
+    AS dup_line_char_ratio_micro,
+  CAST(COALESCE(list_max(list_transform(list_distinct(bgs),
+    d -> len(list_filter(bgs, x -> x = d)))), 0) AS BIGINT)
+    * 1000000 // GREATEST(n_bg, 1) AS top_bigram_ratio_micro
+FROM bg
+""",
+    "decontaminate": """
+WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents),
+eg AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      generate_series(0, len(t) - 5),
+      i -> array_to_string(t[i+1:i+5], ' ')))) AS g
+  FROM tk WHERE len(t) >= 5),
+bg AS (SELECT DISTINCT g FROM eg WHERE doc_id % 97 = 0),
+hits AS (SELECT eg.doc_id, COUNT(*) AS n_hits
+         FROM eg JOIN bg USING (g) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+    "paragraph_dedup": """
+WITH f AS (
+  SELECT doc_id,
+    'doc ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40)
+    || chr(10) || 'shared paragraph for group '
+    || CAST(doc_id // 10 AS VARCHAR)
+    || chr(10) || 'global footer boilerplate' AS t
+  FROM documents),
+p AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      generate_series(1, len(string_split(t, chr(10)))),
+      k -> {'idx': k - 1, 'para': string_split(t, chr(10))[k]})) AS pr
+  FROM f),
+q AS (SELECT doc_id, pr.idx AS idx, pr.para AS para,
+        sha256(pr.para) AS psha,
+        doc_id * 1000000 + pr.idx AS pkey
+      FROM p),
+first AS (SELECT psha, MIN(pkey) AS first_key FROM q GROUP BY 1),
+m AS (SELECT q.doc_id, q.idx, q.para, q.pkey = fs.first_key AS kept
+      FROM q JOIN first fs USING (psha))
+SELECT doc_id,
+  COUNT(*) AS n_paras,
+  COUNT(*) FILTER (WHERE kept) AS n_kept,
+  sha256(string_agg(para, chr(10) ORDER BY idx)
+         FILTER (WHERE kept)) AS kept_sha
+FROM m GROUP BY doc_id
+""",
+})
+
+ORACLES["ring_stats"] = f"""
+WITH {RING_POLYS_CTE.strip().rstrip()},
+mixed AS (
+  SELECT polygon_id, v FROM ringpolys
+  UNION ALL
+  SELECT polygon_id + 1000, list_reverse(v) FROM ringpolys),
+s AS (
+  SELECT polygon_id,
+    CAST(list_sum(list_transform(generate_series(1, len(v)),
+      k -> v[k].x * v[(k % len(v)) + 1].y
+         - v[(k % len(v)) + 1].x * v[k].y)) AS BIGINT) AS area2,
+    CAST(len(v) AS INT) AS n_vertices
+  FROM mixed)
+SELECT polygon_id, area2, area2 > 0 AS is_ccw, n_vertices FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gate-window ordering (keep this block LAST in the module)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate evaluates the first 50 registered queries
@@ -2474,6 +2704,11 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 GATE_PRIORITY = [
     # round-4 NEW or CHANGED queries — must take a fresh r04 gate row
     "pip_join_ring",        # NEW: arbitrary-ring even-odd PIP
+    "pii_scrub",            # NEW: email/phone redaction
+    "repetition_quality",   # NEW: Gopher-style repetition signals
+    "decontaminate",        # NEW: benchmark n-gram decontamination
+    "paragraph_dedup",      # NEW: sub-document exact dedup
+    "ring_stats",           # NEW: shoelace area / winding normalizer
     "geoparse",             # CHANGED: 3-format pattern matrix + fixture
     "media_resize",         # CHANGED: resize_ok dead-letter column
     "encoder_matrix",       # encoder.py changed (argv parity)
@@ -2493,10 +2728,11 @@ GATE_PRIORITY = [
     # rows with implementations unchanged since that gate ran)
     "training_flagship", "minhash_lsh_pairs", "ngram_jaccard",
     "ivf_train", "kmeans_assign", "sq_encode", "chunk_documents",
-    "html_extract", "pip_join", "pip_join_left", "pip_join_convex",
-    "knn_per_cell", "dedup_latest", "asof_join", "url_parts",
-    "domain_cap", "hash_sample",
+    "pip_join", "pip_join_left", "pip_join_convex", "knn_per_cell",
+    "dedup_latest",
     # ------------------- gate-window boundary (50) -----------------------
+    "html_extract", "asof_join", "url_parts", "domain_cap",
+    "hash_sample",
     "ledger_resolve", "ivf_topk", "url_encode", "output_ext",
     "dir_depth", "proxy_paths", "rolling_fingerprint", "cell_histogram",
     "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",

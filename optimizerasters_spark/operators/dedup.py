@@ -207,3 +207,39 @@ def lsh_oversized_buckets(docs: DataFrame, num_hashes: int = 8,
     return (banded.groupBy("band_id", "band_key")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .where(F.col("n_docs") > max_bucket))
+
+
+def paragraph_dedup(docs: DataFrame, sep: str = "\n",
+                    text_col: str = "text") -> DataFrame:
+    """Paragraph-granularity exact dedup — the sub-document pass (C4's
+    line dedup, RefinedWeb's paragraph dedup) that document-level
+    hashing cannot express: boilerplate paragraphs repeat across
+    MOSTLY-DIFFERENT pages, so whole-doc dedup never fires on them.
+
+    First occurrence wins globally, ordered by (doc_id, paragraph
+    index): explode paragraphs with their index, groupBy paragraph hash
+    with a min_by on the packed (doc_id, idx) key (partial map-side
+    agg — one row per distinct paragraph through the shuffle), then
+    mark and reassemble. Returns per doc: paragraph counts before and
+    after, and the sha256 of the kept text (byte-exact parity surface).
+    Shuffles only on sha256(paragraph) and doc_id — both uniform."""
+    paras = (docs
+             .select("doc_id",
+                     F.posexplode(F.split(F.col(text_col), sep))
+                     .alias("idx", "para"))
+             .withColumn("psha", F.sha2(F.col("para"), 256))
+             .withColumn("pkey", F.col("doc_id") * 1000000 + F.col("idx")))
+    first = paras.groupBy("psha").agg(F.min("pkey").alias("first_key"))
+    marked = (paras.join(first, "psha")
+              .withColumn("kept", F.col("pkey") == F.col("first_key")))
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+                 F.sum(F.col("kept").cast("bigint")).cast("bigint")
+                  .alias("n_kept"),
+                 F.sha2(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("kept"),
+                                    F.struct("idx", "para")))),
+                         lambda s: s["para"]),
+                     sep), 256).alias("kept_sha")))

@@ -429,3 +429,27 @@ def knn_kring(pages: DataFrame, query_points: list[tuple[int, int, int]],
             .select("query_id",
                     F.col("knn_rank").cast("int").alias("knn_rank"),
                     "doc_id", F.col("dist2").cast("bigint").alias("dist2")))
+
+
+def ring_stats(polys: DataFrame) -> DataFrame:
+    """Shoelace area + winding order for vertex-array rings: area2 =
+    sum of edge cross products (TWICE the signed area — kept doubled so
+    it stays an exact integer; positive = counter-clockwise). The
+    upstream normalizer for both PIP refiners: _inside_convex requires
+    CCW input, and real-world boundary files mix winding freely, so a
+    100 TB ingest runs this first and flips CW rings (reverse the
+    array). Pure aggregate over the vertex array — codegen, no
+    shuffle."""
+    vs = F.col("vertices")
+    n = F.size(vs)
+    area2 = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc +
+        (F.get(vs, i)["x"] * F.get(vs, F.pmod(i + 1, n))["y"] -
+         F.get(vs, F.pmod(i + 1, n))["x"] * F.get(vs, i)["y"]))
+    return polys.select(
+        "polygon_id",
+        area2.alias("area2"),
+        (area2 > 0).alias("is_ccw"),
+        n.cast("int").alias("n_vertices"))

@@ -151,3 +151,101 @@ def rolling_fingerprint(docs: DataFrame,
         "doc_id",
         h.alias("roll_hash"),
         F.size(toks).cast("bigint").alias("n_tokens"))
+
+
+def repetition_quality(docs: DataFrame, text_col: str = "text",
+                       line_sep: str = "\n") -> DataFrame:
+    """Gopher-style repetition signals — the cheap structural filters
+    that catch boilerplate/SEO spam which per-token quality scores miss:
+
+      * ``dup_line_ratio_micro``       — 1 - distinct/total lines,
+      * ``dup_line_char_ratio_micro``  — fraction of characters living
+        in lines that appear more than once,
+      * ``top_bigram_ratio_micro``     — occurrences of the most
+        frequent word 2-gram over total 2-grams.
+
+    Line metrics are pure array functions (codegen, no shuffle). The
+    top-bigram mode is explode -> (doc_id, bigram) partial-agg count ->
+    max per doc: two shuffles on uniform high-cardinality keys — the
+    corpus-scale shape, never an O(n²) per-row loop."""
+    lines = F.split(F.col(text_col), line_sep)
+    n_lines = F.size(lines).cast("bigint")
+    n_dist = F.size(F.array_distinct(lines)).cast("bigint")
+    # chars in duplicated lines = total chars of lines minus chars of
+    # lines that occur exactly once; exact via the distinct/exploded
+    # twin below would shuffle — stay per-row: a line is "duplicated"
+    # iff it occurs >= 2 times within the doc's own line array
+    dup_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"),
+        lambda acc, ln: acc + F.when(
+            F.size(F.filter(lines, lambda x: x == ln)) >= 2,
+            F.length(ln)).otherwise(F.lit(0)))
+    tot_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"),
+        lambda acc, ln: acc + F.length(ln))
+    base = docs.select(
+        "doc_id",
+        F.floor((n_lines - n_dist) * MICRO /
+                F.greatest(n_lines, F.lit(1))).cast("bigint")
+         .alias("dup_line_ratio_micro"),
+        F.floor(dup_chars * MICRO / F.greatest(tot_chars, F.lit(1)))
+         .cast("bigint").alias("dup_line_char_ratio_micro"),
+        F.col(text_col))
+    toks = tokens_col(text_col)
+    n_bg = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.get(toks, i),
+                                          F.get(toks, i + 1))))
+    exploded = (docs.select("doc_id",
+                            F.explode(bigrams).alias("bg"))
+                .groupBy("doc_id", "bg")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("doc_id")
+                .agg(F.max("c").alias("top_bg")))
+    counts = docs.select("doc_id", n_bg.alias("n_bg"))
+    return (base.drop(text_col)
+            .join(counts, "doc_id")
+            .join(exploded, "doc_id", "left")
+            .select(
+                "doc_id", "dup_line_ratio_micro",
+                "dup_line_char_ratio_micro",
+                F.floor(F.coalesce(F.col("top_bg"), F.lit(0)) * MICRO /
+                        F.greatest(F.col("n_bg"), F.lit(1)))
+                 .cast("bigint").alias("top_bigram_ratio_micro")))
+
+
+def ngram_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 5,
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word
+    ``n``-gram with a benchmark/eval set — the filter every serious
+    training corpus runs so test questions never leak into training
+    (the n-gram-overlap method used for GPT-3/PaLM-style decontam).
+
+    Scale shape: DISTINCT doc n-grams explode (bounded by doc length),
+    the benchmark's n-gram set is tiny by definition -> broadcast hash
+    semi-join, then one partial-agg count per doc. Returns every doc
+    with n_hits (0 for clean docs) and the contaminated flag."""
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokens_col(text_col)
+        gs = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, n))))
+        return df.select("doc_id",
+                         F.explode(F.array_distinct(gs)).alias("g"))
+
+    bench_grams = grams(benchmark).select("g").distinct()
+    hits = (grams(docs)
+            .join(F.broadcast(bench_grams), "g", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    return (docs.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+                     .alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") > 0))

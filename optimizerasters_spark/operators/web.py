@@ -21,6 +21,8 @@ Common-Crawl-style corpus needs before tiling:
     reproducible "1 % CI sample" knob (BASELINE.json metric) that
     selects the SAME rows on any engine or cluster size, unlike
     rand()-based sampling.
+  * ``pii_scrub`` — email/phone redaction with per-doc counts and a
+    byte-exact scrubbed-text hash (the C4/RefinedWeb hygiene pass).
 """
 
 from __future__ import annotations
@@ -126,3 +128,31 @@ def hash_sample(df: DataFrame, rate_milli: int,
                16, 10).cast("bigint"),
         F.lit(1000))
     return df.where(bucket < rate_milli)
+
+
+# PII patterns for the scrub pass. Both regexes are deliberately in the
+# common subset of Java regex (Spark) and RE2 (DuckDB/Go scrubbers):
+# character classes + bounded repetition only — no lookaround, so the
+# same pattern string runs identically on any engine in the fleet.
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RX = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and phone numbers from web text before training —
+    the standard corpus-hygiene pass (C4/RefinedWeb-style). Emits the
+    per-doc match counts, the scrubbed text, and its sha256 (the
+    byte-exact parity surface). Pure regexp_replace/extract_all —
+    JVM-side codegen, no UDF; a learned PII tagger slots in behind the
+    same columns."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RX), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RX), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RX, "<EMAIL>"), PHONE_RX, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+        F.sha2(scrubbed, 256).alias("scrub_sha"))

@@ -9,8 +9,9 @@ from optimizerasters_spark import contract
 
 # new or behavior-changed in round 4 — need a fresh r04 row
 R04_NEW_OR_CHANGED = [
-    "pip_join_ring", "geoparse", "media_resize", "encoder_matrix",
-    "til_finalize",
+    "pip_join_ring", "pii_scrub", "repetition_quality", "decontaminate",
+    "paragraph_dedup", "ring_stats", "geoparse", "media_resize",
+    "encoder_matrix", "til_finalize",
 ]
 
 # queries whose last gate row is r02 (rotated out of the r03 window)
@@ -68,7 +69,7 @@ def test_every_query_has_a_fresh_row_source():
 
 def test_reorder_loses_no_queries():
     # every registered query survived the reorder and still has its oracle
-    assert len(contract.QUERIES) >= 79
+    assert len(contract.QUERIES) >= 84
     assert len(set(contract.QUERIES)) == len(contract.QUERIES)
     no_oracle = [n for n in contract.QUERIES if n not in contract.ORACLES]
     assert not no_oracle, f"queries without oracle SQL: {no_oracle}"

@@ -254,6 +254,28 @@ def test_pip_convex_never_shuffles_pages(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
 
 
+def test_pii_scrub_is_pure_codegen(spark, sf_dir):
+    """PII redaction is regexp-only: zero shuffles, zero Python — it
+    must fold into the scan stage at corpus scale."""
+    from optimizerasters_spark.operators import web
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(web.pii_scrub(d))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_ngrams(spark, sf_dir):
+    """The benchmark n-gram set (tiny by definition) must reach the
+    corpus side as a broadcast semi-join — never a shuffled join of the
+    exploded corpus n-grams against it."""
+    from optimizerasters_spark.operators import text as T
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    plan = _plan(T.ngram_contamination(d, bench, n=5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
 def test_pip_ring_never_shuffles_pages(spark, sf_dir):
     """The arbitrary-ring exact PIP (even-odd ray cast) keeps the same
     guarantee: broadcast cover, zero Exchange on the pages side, the
