@@ -75,6 +75,12 @@ class JobConf:
     # ... and/or a deterministic md5-threshold sample rate out of 1000
     # (web.hash_sample — the reproducible "1% CI sample" knob)
     sample_milli: int | None = None
+    # ... and/or PII redaction at ingest (web.scrubbed_col): emails and
+    # phone numbers are rewritten to <EMAIL>/<PHONE> BEFORE the ledger
+    # init, so the job's byte-identity invariant holds over the
+    # SCRUBBED corpus — the form a compliance review wants (the raw
+    # text never lands in any output or checkpoint of this job)
+    scrub_pii: bool = False
 
 
 class Engine:
@@ -197,6 +203,10 @@ class Engine:
             from optimizerasters_spark.operators import web
             pages = web.domain_cap(pages, conf.domain_cap_k) \
                 .drop("host")
+        if conf.scrub_pii and "text" in pages.columns:
+            from optimizerasters_spark.operators import web
+            pages = pages.withColumn("text",
+                                     web.scrubbed_col(F.col("text")))
 
         led = L.read_ledger(spark, conf.workdir)
         if led is None:

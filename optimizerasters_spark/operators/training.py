@@ -32,7 +32,9 @@ def training_kept(docs: DataFrame,
                   min_tokens: int = MIN_TOKENS,
                   max_mean_wl_micro: int = MAX_MEAN_WL_MICRO,
                   reps_path: str | None = None,
-                  max_bucket: int | None = None) -> DataFrame:
+                  max_bucket: int | None = None,
+                  max_top_bigram_micro: int | None = None,
+                  max_dup_line_micro: int | None = None) -> DataFrame:
     """Documents surviving dedup + near-dup removal + the quality gate,
     with the gate features attached.
 
@@ -69,6 +71,18 @@ def training_kept(docs: DataFrame,
              .withColumn("en_score_micro", T.stopword_ratio_col("text"))
              .where((F.col("n_tokens") >= min_tokens) &
                     (F.col("mean_word_len_micro") <= max_mean_wl_micro)))
+    # optional Gopher-style repetition gate (text.repetition_quality):
+    # catches bigram-spam / boilerplate-heavy docs the per-token quality
+    # features pass. Off by default — thresholds are corpus policy.
+    if max_top_bigram_micro is not None or max_dup_line_micro is not None:
+        rq = T.repetition_quality(gated.select("doc_id", "text"))
+        cond = F.lit(True)
+        if max_top_bigram_micro is not None:
+            cond &= F.col("top_bigram_ratio_micro") <= max_top_bigram_micro
+        if max_dup_line_micro is not None:
+            cond &= F.col("dup_line_ratio_micro") <= max_dup_line_micro
+        gated = gated.join(rq.where(cond).select("doc_id"),
+                           "doc_id", "left_semi")
     return gated
 
 

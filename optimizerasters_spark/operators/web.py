@@ -138,6 +138,13 @@ EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RX = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
 
 
+def scrubbed_col(t: Column) -> Column:
+    """The redacted form of a text column — emails first, then phones
+    (an email's digits can't then be half-matched as a phone)."""
+    return F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RX, "<EMAIL>"), PHONE_RX, "<PHONE>")
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails and phone numbers from web text before training —
     the standard corpus-hygiene pass (C4/RefinedWeb-style). Emits the
@@ -148,8 +155,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RX), F.lit(0)))
     n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RX), F.lit(0)))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RX, "<EMAIL>"), PHONE_RX, "<PHONE>")
+    scrubbed = scrubbed_col(t)
     return docs.select(
         "doc_id",
         n_emails.cast("bigint").alias("n_emails"),

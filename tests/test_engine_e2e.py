@@ -261,6 +261,31 @@ def test_incremental_finalize_noop_when_nothing_new(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, res2["tile_counts"].collect())) == before
 
 
+def test_engine_scrub_pii_redacts_before_any_output(spark, sf_dir,
+                                                    tmp_path):
+    """scrub_pii redacts at ingest (before the ledger init), so no raw
+    email/phone ever lands in the per-page output — and the job's
+    byte-identity invariant holds over the scrubbed corpus across a
+    resume."""
+    wd = str(tmp_path / "scrubjob")
+    pages = synth_pages(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit(" mail bob@x.example.com call 555-123-4567 ")))
+    eng = Engine(JobConf(sf_dir=sf_dir, workdir=wd, scrub_pii=True))
+    res = eng.run(spark, pages=pages)
+    out = res["page_tiles"]
+    assert out.where(F.col("text").contains("bob@x.example.com")) \
+              .count() == 0
+    assert out.where(F.col("text").contains("555-123-4567")).count() == 0
+    n_scrubbed = out.where(F.col("text").contains("<EMAIL>")).count()
+    assert n_scrubbed == out.count()  # every page carried the fixture
+    # resume run over the same (scrubbed) universe is a no-op
+    eng2 = Engine(JobConf(sf_dir=sf_dir, workdir=wd, scrub_pii=True))
+    res2 = eng2.run(spark, pages=pages)
+    assert res2["page_tiles"].count() == out.count()
+
+
 def test_til_finalize_noop_when_nothing_releasing(spark, sf_dir,
                                                   tmp_path):
     """VERDICT r03 'What's wrong' #1: a steady-state resume (no group

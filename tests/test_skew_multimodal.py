@@ -144,6 +144,27 @@ def test_training_flagship_bucket_cap_is_reported(spark, sf_dir):
     assert rows and all(r["n_docs"] > 10 for r in rows)
 
 
+def test_training_repetition_gate_drops_bigram_spam(spark, sf_dir):
+    """The opt-in Gopher-style repetition gate: a doc that is one
+    bigram repeated survives the token/word-length gate but must fall
+    to max_top_bigram_micro; normal docs are unaffected."""
+    from optimizerasters_spark.operators import training
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang").where(F.col("doc_id") < 50)
+    spam = spark.createDataFrame(
+        [(9999, " ".join(["buy now"] * 40), "en")],
+        "doc_id bigint, text string, lang string")
+    docs = base.unionByName(spam)
+    plain = {r["doc_id"] for r in
+             training.training_kept(docs).select("doc_id").collect()}
+    gated = {r["doc_id"] for r in
+             training.training_kept(docs, max_top_bigram_micro=500000)
+             .select("doc_id").collect()}
+    assert 9999 in plain
+    assert 9999 not in gated
+    assert gated == plain - {9999}
+
+
 def test_training_flagship_materialized_reps_equivalent(spark, sf_dir,
                                                         tmp_path):
     """reps_path materialization (the 100 TB scan-once form) must not

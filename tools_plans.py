@@ -24,6 +24,18 @@ def _kmeans_assign_plan(spark, sf, plan):
     return plan(q_kmeans_assign(spark, sf))
 
 
+def _pip_ring_plan(spark, sf, plan):
+    from optimizerasters_spark.pages import synth_ring_polys
+    p = synth_pages(spark, sf)
+    return plan(spatial.pip_join_ring(p, synth_ring_polys(spark))
+                .select("doc_id", "polygon_id"))
+
+
+def _paragraph_dedup_plan(spark, sf, plan):
+    from optimizerasters_spark.contract import q_paragraph_dedup
+    return plan(q_paragraph_dedup(spark, sf))
+
+
 def main():
     spark = get_spark('plans', master='local[4]', shuffle_partitions='8')
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,6 +71,12 @@ def main():
         ("k-means assignment (broadcast centroids + partial_min_by — one "
          "row per vector through the shuffle, never N*K)",
          _kmeans_assign_plan(spark, sf, plan)),
+        ("Arbitrary-ring PIP join (broadcast cover + inline even-odd "
+         "ray cast — no page Exchange, no UDF)",
+         _pip_ring_plan(spark, sf, plan)),
+        ("Paragraph dedup (posexplode -> partial_min per paragraph sha "
+         "-> per-doc reassembly; shuffles only on sha and doc_id)",
+         _paragraph_dedup_plan(spark, sf, plan)),
     ]
     out = ['# PLANS — captured physical plans (`.explain("formatted")`)', "",
            "Generated against sf0.001; regenerate with `python tools_plans.py`.",
