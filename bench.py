@@ -107,7 +107,8 @@ def main() -> None:
         "top_tokens", "ivf_topk", "salted_cell_payloads",
         "rasterize_tiles", "pip_join_convex", "pip_join_ring",
         "pyramid_resample", "kmeans_assign", "chunk_documents",
-        "sq_encode", "pii_scrub", "paragraph_dedup", "decontaminate"]
+        "sq_encode", "pii_scrub", "paragraph_dedup", "decontaminate",
+        "pq_adc_topk"]
     for qname in qnames:
         q = contract.QUERIES[qname]
         bench(qname, lambda q=q: q(spark, SF_DIR)

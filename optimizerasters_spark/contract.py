@@ -2676,6 +2676,92 @@ FROM m GROUP BY doc_id
 """,
 })
 
+# ---------------------------------------------------------------------------
+# Batch 18 (round 4): product quantization — encode + ADC search
+# ---------------------------------------------------------------------------
+
+PQ_M, PQ_DIM = 2, 64
+
+
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                 similarity.quantize_micro(F.col("embedding")).alias("v"))
+    cb = similarity.pq_codebooks_stride(v, m=PQ_M, dim=PQ_DIM)
+    return v, cb
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: each vector becomes M=2 codebook
+    codes (nearest entry per 32-dim subspace, integer squared L2).
+    Stride-sampled codebooks keep the whole stage SQL-expressible;
+    pq_train's Lloyd-refined books drop in behind the same shape."""
+    v, cb = _pq_parts(spark, sf_dir)
+    return similarity.pq_encode(v, cb, m=PQ_M, dim=PQ_DIM)
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over the PQ-compressed corpus: per-query LUT of
+    partial distances (broadcast), equi-join on (subspace, code), sum,
+    top-3 per query — the decode-free compressed search path."""
+    v, cb = _pq_parts(spark, sf_dir)
+    codes = similarity.pq_encode(v, cb, m=PQ_M, dim=PQ_DIM)
+    queries = v.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec"))
+    return similarity.pq_adc_topk(queries, codes, cb, m=PQ_M, dim=PQ_DIM,
+                                  k=3)
+
+
+QUERIES.update({"pq_encode": q_pq_encode, "pq_adc_topk": q_pq_adc_topk})
+
+_PQ_CTES = """
+e AS (SELECT vec_id,
+  list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(FLOOR(x * 1000000) AS BIGINT) + 1000000) AS v
+  FROM embeddings),
+cb AS (
+  SELECT mm.m AS m, CAST(vec_id // 97 AS INT) AS cent_id,
+         v[mm.m * 32 + 1 : mm.m * 32 + 32] AS cvec
+  FROM e CROSS JOIN (VALUES (0), (1)) mm(m)
+  WHERE vec_id % 97 = 0),
+d AS (
+  SELECT e.vec_id, cb.m, cb.cent_id,
+    CAST(list_sum(list_transform(generate_series(1, 32),
+      i -> (e.v[cb.m * 32 + i] - cb.cvec[i])
+         * (e.v[cb.m * 32 + i] - cb.cvec[i]))) AS BIGINT) AS dist2
+  FROM e CROSS JOIN cb),
+best AS (
+  SELECT vec_id, m, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist2, cent_id) AS rn
+    FROM d) WHERE rn = 1)
+"""
+
+ORACLES["pq_encode"] = f"""
+WITH {_PQ_CTES.strip()}
+SELECT vec_id, CAST(list(cent_id ORDER BY m) AS INT[]) AS codes
+FROM best GROUP BY vec_id
+"""
+
+ORACLES["pq_adc_topk"] = f"""
+WITH {_PQ_CTES.strip()},
+q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 4),
+lut AS (
+  SELECT q.query_id, cb.m, cb.cent_id,
+    CAST(list_sum(list_transform(generate_series(1, 32),
+      i -> (q.qvec[cb.m * 32 + i] - cb.cvec[i])
+         * (q.qvec[cb.m * 32 + i] - cb.cvec[i]))) AS BIGINT) AS pdist
+  FROM q CROSS JOIN cb),
+s AS (SELECT l.query_id, b.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc2
+      FROM best b JOIN lut l ON l.m = b.m AND l.cent_id = b.cent_id
+      GROUP BY 1, 2)
+SELECT query_id, vec_id, adc2, CAST(rn AS INT) AS pq_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc2, vec_id) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
 ORACLES["ring_stats"] = f"""
 WITH {RING_POLYS_CTE.strip().rstrip()},
 mixed AS (
@@ -2709,6 +2795,8 @@ GATE_PRIORITY = [
     "decontaminate",        # NEW: benchmark n-gram decontamination
     "paragraph_dedup",      # NEW: sub-document exact dedup
     "ring_stats",           # NEW: shoelace area / winding normalizer
+    "pq_encode",            # NEW: product-quantization encode
+    "pq_adc_topk",          # NEW: ADC compressed search
     "geoparse",             # CHANGED: 3-format pattern matrix + fixture
     "media_resize",         # CHANGED: resize_ok dead-letter column
     "encoder_matrix",       # encoder.py changed (argv parity)
@@ -2728,9 +2816,9 @@ GATE_PRIORITY = [
     # rows with implementations unchanged since that gate ran)
     "training_flagship", "minhash_lsh_pairs", "ngram_jaccard",
     "ivf_train", "kmeans_assign", "sq_encode", "chunk_documents",
-    "pip_join", "pip_join_left", "pip_join_convex", "knn_per_cell",
-    "dedup_latest",
+    "pip_join", "pip_join_left", "pip_join_convex",
     # ------------------- gate-window boundary (50) -----------------------
+    "knn_per_cell", "dedup_latest",
     "html_extract", "asof_join", "url_parts", "domain_cap",
     "hash_sample",
     "ledger_resolve", "ivf_topk", "url_encode", "output_ext",

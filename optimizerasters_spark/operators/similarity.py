@@ -362,3 +362,104 @@ def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame,
             .select(F.col("query_id").cast("bigint").alias("query_id"),
                     F.col("sim_rank").cast("int").alias("sim_rank"),
                     F.col("vec_id").cast("bigint").alias("vec_id")))
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the codebook-compression layer between SQ
+# and IVF in the billion-vector stack — vectors become M small codes and
+# search runs decode-free against per-query lookup tables (ADC).
+# --------------------------------------------------------------------------
+
+def pq_codebooks_stride(vectors: DataFrame, m: int, dim: int,
+                        stride: int = 97, id_col: str = "vec_id",
+                        vec_col: str = "v") -> DataFrame:
+    """Deterministic stride-sampled PQ codebooks -> (m, cent_id, cvec):
+    subspace ``mm``'s codebook is the mm-th slice of every stride-th
+    vector. The fixture/bootstrap form (exactly q_ivf_topk's fixed-
+    centroid trick, so the encode/ADC stages are SQL-oracle-checkable);
+    pq_train swaps in Lloyd-refined codebooks behind the same shape."""
+    dsub = dim // m
+    base = vectors.where(F.col(id_col) % stride == 0).select(
+        (F.col(id_col) / stride).cast("int").alias("cent_id"),
+        F.col(vec_col))
+    out = None
+    for mm in range(m):
+        sub = base.select(
+            F.lit(mm).cast("int").alias("m"), "cent_id",
+            F.slice(F.col(vec_col), mm * dsub + 1, dsub).alias("cvec"))
+        out = sub if out is None else out.unionByName(sub)
+    return out
+
+
+def pq_train(vectors: DataFrame, m: int, dim: int, k: int = 8,
+             iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "v") -> DataFrame:
+    """Lloyd-refined PQ codebooks: M INDEPENDENT integer k-means runs
+    (kmeans_train — hash-seeded, broadcast assign, posexplode update)
+    over the subvector slices. Each subspace trains on the full corpus
+    but only dim/M components; the driver round-trip per iteration stays
+    K*dim/M integers. Returns (m, cent_id, cvec)."""
+    dsub = dim // m
+    out = None
+    for mm in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), mm * dsub + 1, dsub).alias(vec_col))
+        cb = (kmeans_train(sub, k=k, iters=iters, id_col=id_col,
+                           vec_col=vec_col)
+              .select(F.lit(mm).cast("int").alias("m"), "cent_id",
+                      "cvec"))
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def pq_encode(vectors: DataFrame, codebooks: DataFrame, m: int, dim: int,
+              id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """vector -> array<int> of M codes: nearest codebook entry per
+    subspace (integer squared L2, ties -> lower cent_id). Broadcast the
+    M*K codebook rows, min_by per (vector, subspace) — M rows per
+    vector through the shuffle, never N*M*K — then pack the code array
+    in subspace order. 64 micro-int dims at M=8 become 8 ints: the 8x
+    memory lever on top of SQ's 4x."""
+    dsub = dim // m
+    cand = (vectors.join(F.broadcast(codebooks))
+            .withColumn("dist2", _dist2_int(
+                F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub),
+                F.col("cvec"))))
+    best = cand.groupBy(id_col, "m").agg(
+        F.min_by("cent_id",
+                 F.struct(F.col("dist2"), F.col("cent_id"))).alias("code"))
+    packed = best.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("m", "code"))).alias("_mc"))
+    return packed.select(
+        id_col,
+        F.transform("_mc", lambda s: s["code"].cast("int")).alias("codes"))
+
+
+def pq_adc_topk(queries: DataFrame, codes: DataFrame,
+                codebooks: DataFrame, m: int, dim: int, k: int = 5,
+                q_id: str = "query_id", q_vec: str = "qvec",
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric distance computation: build the per-query lookup
+    table (Q*M*K partial distances — tiny, broadcast), equi-join the
+    code table on (subspace, code), sum the M partial distances per
+    (query, vector), take top-k. The compressed corpus is never
+    decoded; only the LUT touches full precision — the IVF probe's
+    inner loop at billion scale (ADC runs per posting list there; here
+    it scans the whole code table, which IS the nprobe=all case)."""
+    dsub = dim // m
+    lut = (queries.join(F.broadcast(codebooks))
+           .select(q_id, F.col("m").alias("lm"), "cent_id",
+                   _dist2_int(
+                       F.slice(F.col(q_vec), F.col("m") * dsub + 1, dsub),
+                       F.col("cvec")).alias("pdist")))
+    ex = codes.select(id_col, F.posexplode("codes").alias("m", "code"))
+    j = ex.join(F.broadcast(lut),
+                (F.col("m") == F.col("lm")) &
+                (F.col("code") == F.col("cent_id")))
+    agg = j.groupBy(q_id, id_col).agg(
+        F.sum("pdist").cast("bigint").alias("adc2"))
+    w = Window.partitionBy(q_id).orderBy(F.col("adc2").asc(),
+                                         F.col(id_col).asc())
+    return (agg.withColumn("pq_rank", F.row_number().over(w))
+            .where(F.col("pq_rank") <= k))

@@ -10,8 +10,8 @@ from optimizerasters_spark import contract
 # new or behavior-changed in round 4 — need a fresh r04 row
 R04_NEW_OR_CHANGED = [
     "pip_join_ring", "pii_scrub", "repetition_quality", "decontaminate",
-    "paragraph_dedup", "ring_stats", "geoparse", "media_resize",
-    "encoder_matrix", "til_finalize",
+    "paragraph_dedup", "ring_stats", "pq_encode", "pq_adc_topk",
+    "geoparse", "media_resize", "encoder_matrix", "til_finalize",
 ]
 
 # queries whose last gate row is r02 (rotated out of the r03 window)
