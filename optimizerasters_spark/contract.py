@@ -2712,7 +2712,23 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=3)
 
 
-QUERIES.update({"pq_encode": q_pq_encode, "pq_adc_topk": q_pq_adc_topk})
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed: vectors live in their nearest coarse list
+    (stride-131 centroids) as M=2 PQ codes (stride-97 codebooks);
+    each query probes its 2 nearest lists and ranks members by ADC —
+    the full billion-scale search shape in one oracle-gated query."""
+    v, cb = _pq_parts(spark, sf_dir)
+    coarse = v.where(F.col("vec_id") % 131 == 0).select(
+        (F.col("vec_id") / 131).cast("int").alias("cent_id"),
+        F.col("v").alias("cvec"))
+    queries = v.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec"))
+    return similarity.ivf_pq_topk(queries, v, coarse, cb, m=PQ_M,
+                                  dim=PQ_DIM, nprobe=2, k=3)
+
+
+QUERIES.update({"pq_encode": q_pq_encode, "pq_adc_topk": q_pq_adc_topk,
+                "ivf_pq_topk": q_ivf_pq_topk})
 
 _PQ_CTES = """
 e AS (SELECT vec_id,
@@ -2762,6 +2778,45 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rn <= 3
 """
 
+ORACLES["ivf_pq_topk"] = f"""
+WITH {_PQ_CTES.strip()},
+co AS (SELECT CAST(vec_id // 131 AS INT) AS list_id, v AS cvec
+       FROM e WHERE vec_id % 131 = 0),
+asg AS (SELECT vec_id, list_id FROM (
+  SELECT e.vec_id, co.list_id,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      CAST(list_sum(list_transform(generate_series(1, 64),
+        i -> (e.v[i] - co.cvec[i]) * (e.v[i] - co.cvec[i])))
+        AS BIGINT), co.list_id) AS rn
+  FROM e CROSS JOIN co) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 4),
+probed AS (SELECT query_id, list_id FROM (
+  SELECT q.query_id, co.list_id,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      CAST(list_sum(list_transform(generate_series(1, 64),
+        i -> (q.qvec[i] - co.cvec[i]) * (q.qvec[i] - co.cvec[i])))
+        AS BIGINT), co.list_id) AS rn
+  FROM q CROSS JOIN co) WHERE rn <= 2),
+lut AS (
+  SELECT q.query_id, cb.m, cb.cent_id,
+    CAST(list_sum(list_transform(generate_series(1, 32),
+      i -> (q.qvec[cb.m * 32 + i] - cb.cvec[i])
+         * (q.qvec[cb.m * 32 + i] - cb.cvec[i]))) AS BIGINT) AS pdist
+  FROM q CROSS JOIN cb),
+s AS (SELECT l.query_id, b.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc2
+      FROM best b
+      JOIN asg a ON a.vec_id = b.vec_id
+      JOIN probed p ON p.list_id = a.list_id
+      JOIN lut l ON l.query_id = p.query_id AND l.m = b.m
+                AND l.cent_id = b.cent_id
+      GROUP BY 1, 2)
+SELECT query_id, vec_id, adc2, CAST(rn AS INT) AS pq_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc2, vec_id) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
 ORACLES["ring_stats"] = f"""
 WITH {RING_POLYS_CTE.strip().rstrip()},
 mixed AS (
@@ -2797,6 +2852,7 @@ GATE_PRIORITY = [
     "ring_stats",           # NEW: shoelace area / winding normalizer
     "pq_encode",            # NEW: product-quantization encode
     "pq_adc_topk",          # NEW: ADC compressed search
+    "ivf_pq_topk",          # NEW: IVF+PQ composed search
     "geoparse",             # CHANGED: 3-format pattern matrix + fixture
     "media_resize",         # CHANGED: resize_ok dead-letter column
     "encoder_matrix",       # encoder.py changed (argv parity)
@@ -2816,8 +2872,9 @@ GATE_PRIORITY = [
     # rows with implementations unchanged since that gate ran)
     "training_flagship", "minhash_lsh_pairs", "ngram_jaccard",
     "ivf_train", "kmeans_assign", "sq_encode", "chunk_documents",
-    "pip_join", "pip_join_left", "pip_join_convex",
+    "pip_join", "pip_join_left",
     # ------------------- gate-window boundary (50) -----------------------
+    "pip_join_convex",
     "knn_per_cell", "dedup_latest",
     "html_extract", "asof_join", "url_parts", "domain_cap",
     "hash_sample",

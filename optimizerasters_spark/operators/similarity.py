@@ -463,3 +463,57 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame,
                                          F.col(id_col).asc())
     return (agg.withColumn("pq_rank", F.row_number().over(w))
             .where(F.col("pq_rank") <= k))
+
+
+def ivf_pq_topk(queries: DataFrame, vectors: DataFrame,
+                coarse: DataFrame, codebooks: DataFrame, m: int,
+                dim: int, nprobe: int = 2, k: int = 5,
+                q_id: str = "query_id", q_vec: str = "qvec",
+                id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """IVF + PQ composed — the billion-scale search shape: every vector
+    lives in the posting list of its nearest coarse centroid and is
+    stored as M PQ codes; a query probes its ``nprobe`` nearest lists
+    and ranks ONLY those lists' members by decode-free ADC distance.
+
+    Plan: one kmeans_assign for list membership (broadcast coarse,
+    min_by), one pq_encode (broadcast codebooks, min_by per subspace),
+    the probed (query, list) pairs and the per-query LUT both broadcast
+    — the only page-proportional shuffles key on vec_id and
+    (query, vec) within probed lists, i.e. the candidate set, never
+    the corpus times queries. Residual encoding (encode v - coarse
+    centroid instead of v) slots in by subtracting the centroid before
+    pq_encode — identical shape, finer codes."""
+    assigned = kmeans_assign(vectors, coarse, id_col, vec_col) \
+        .select(id_col, F.col("cent_id").alias("list_id"))
+    codes = pq_encode(vectors, codebooks, m, dim, id_col, vec_col)
+    qc = (queries.join(F.broadcast(
+            coarse.select(F.col("cent_id").alias("list_id"),
+                          F.col("cvec").alias("list_vec"))))
+          .withColumn("qd2", _dist2_int(F.col(q_vec),
+                                        F.col("list_vec"))))
+    wq = Window.partitionBy(q_id).orderBy(F.col("qd2").asc(),
+                                          F.col("list_id").asc())
+    probed = (qc.withColumn("pr", F.row_number().over(wq))
+              .where(F.col("pr") <= nprobe).select(q_id, "list_id"))
+    dsub = dim // m
+    lut = (queries.join(F.broadcast(codebooks))
+           .select(F.col(q_id).alias("lq"), F.col("m").alias("lm"),
+                   "cent_id",
+                   _dist2_int(
+                       F.slice(F.col(q_vec), F.col("m") * dsub + 1,
+                               dsub),
+                       F.col("cvec")).alias("pdist")))
+    ex = (codes.join(assigned, id_col)
+          .select(id_col, "list_id",
+                  F.posexplode("codes").alias("m", "code")))
+    cand = ex.join(F.broadcast(probed), "list_id")
+    j = cand.join(F.broadcast(lut),
+                  (F.col(q_id) == F.col("lq")) &
+                  (F.col("m") == F.col("lm")) &
+                  (F.col("code") == F.col("cent_id")))
+    agg = j.groupBy(q_id, id_col).agg(
+        F.sum("pdist").cast("bigint").alias("adc2"))
+    w = Window.partitionBy(q_id).orderBy(F.col("adc2").asc(),
+                                         F.col(id_col).asc())
+    return (agg.withColumn("pq_rank", F.row_number().over(w))
+            .where(F.col("pq_rank") <= k))
