@@ -2551,13 +2551,95 @@ def q_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.ring_stats(both)
 
 
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate FAMILIES: plant two chained variants of
+    every ninth doc (base ~ +3 tokens ~ +6 tokens), derive the real
+    LSH + Jaccard pair graph, and label each component with its smallest
+    doc_id via distributed min-label propagation. The DuckDB oracle
+    re-derives the same pair graph and closes it with a recursive
+    CTE — the full pipeline (candidates -> verify -> closure) is
+    value-checked per component, not just one hop."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    ninth = d.where(F.col("doc_id") % 9 == 0)
+    v1 = ninth.select((F.col("doc_id") + 20000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" zzz zzz zzz"))
+                      .alias("text"))
+    v2 = ninth.select((F.col("doc_id") + 40000).alias("doc_id"),
+                      F.concat(F.col("text"),
+                               F.lit(" zzz zzz zzz yyy yyy yyy"))
+                      .alias("text"))
+    docs = d.unionByName(v1).unionByName(v2)
+    pairs = dedup.ngram_jaccard_pairs(docs, min_jaccard_micro=500000) \
+        .select("doc_a", "doc_b")
+    return dedup.dup_components(pairs)
+
+
 QUERIES.update({
     "pii_scrub": q_pii_scrub,
     "repetition_quality": q_repetition_quality,
     "decontaminate": q_decontaminate,
     "paragraph_dedup": q_paragraph_dedup,
     "ring_stats": q_ring_stats,
+    "dup_components": q_dup_components,
 })
+
+ORACLES["dup_components"] = """
+WITH RECURSIVE f AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text || ' zzz zzz zzz'
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id + 40000, text || ' zzz zzz zzz yyy yyy yyy'
+  FROM documents WHERE doc_id % 9 = 0),
+tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM f),
+sh AS (SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, GREATEST(len(t) - 3, 0)),
+           i -> array_to_string(t[i+1:i+3], ' '))) AS s
+       FROM tk),
+sig AS (SELECT doc_id,
+          list_transform(generate_series(0, 7),
+            i -> list_min(list_transform(s,
+                   x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS g
+        FROM sh),
+banded AS (
+  SELECT doc_id, b.band_id,
+         array_to_string(g[b.band_id*2+1:b.band_id*2+2], '|') AS band_key
+  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
+cands AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM cands p
+  JOIN ex ea ON ea.doc_id = p.doc_a
+  JOIN ex eb ON eb.doc_id = p.doc_b AND eb.sng = ea.sng
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE FLOOR(i.n_inter * 1000000 /
+              (sa.n_sh + sb.n_sh - i.n_inter)) >= 500000),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS comp
+FROM reach GROUP BY u
+"""
 
 ORACLES.update({
     "pii_scrub": """
@@ -2853,6 +2935,7 @@ GATE_PRIORITY = [
     "pq_encode",            # NEW: product-quantization encode
     "pq_adc_topk",          # NEW: ADC compressed search
     "ivf_pq_topk",          # NEW: IVF+PQ composed search
+    "dup_components",       # NEW: transitive dup families (CC)
     "geoparse",             # CHANGED: 3-format pattern matrix + fixture
     "media_resize",         # CHANGED: resize_ok dead-letter column
     "encoder_matrix",       # encoder.py changed (argv parity)
@@ -2871,10 +2954,10 @@ GATE_PRIORITY = [
     # their rows stay fresh too (remaining queries ride their green r03
     # rows with implementations unchanged since that gate ran)
     "training_flagship", "minhash_lsh_pairs", "ngram_jaccard",
-    "ivf_train", "kmeans_assign", "sq_encode", "chunk_documents",
+    "ivf_train", "kmeans_assign", "sq_encode",
     "pip_join", "pip_join_left",
     # ------------------- gate-window boundary (50) -----------------------
-    "pip_join_convex",
+    "chunk_documents", "pip_join_convex",
     "knn_per_cell", "dedup_latest",
     "html_extract", "asof_join", "url_parts", "domain_cap",
     "hash_sample",

@@ -243,3 +243,45 @@ def paragraph_dedup(docs: DataFrame, sep: str = "\n",
                                     F.struct("idx", "para")))),
                          lambda s: s["para"]),
                      sep), 256).alias("kept_sha")))
+
+
+def dup_components(pairs: DataFrame, max_iters: int = 20,
+                   a_col: str = "doc_a", b_col: str = "doc_b"
+                   ) -> DataFrame:
+    """Connected components over the near-dup pair graph -> (doc_id,
+    comp) with comp = the smallest doc_id in the component. This is
+    the transitive closure the pairwise drop rule approximates: pick
+    ONE canonical representative per duplicate FAMILY (A~B, B~C => one
+    family even when A!~C directly), the semantics large corpus dedups
+    (e.g. MinHashLSH + CC) actually want.
+
+    Distributed min-label propagation: every node repeatedly takes the
+    minimum label in its neighborhood; converges in O(component
+    diameter) rounds — near-dup families are shallow (a few hops), so
+    a handful of rounds. Each round is one shuffle keyed on node id
+    over the EDGE table (never all-pairs); labels are
+    localCheckpoint-ed per round so the plan stays flat, and the
+    driver sees only a converged/changed counter."""
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (e.unionByName(e.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("u").alias("doc_id")).distinct()
+              .withColumn("comp", F.col("doc_id")).localCheckpoint())
+    for _ in range(max_iters):
+        nb = (edges.join(labels, edges["v"] == labels["doc_id"])
+              .groupBy("u").agg(F.min("comp").alias("nb_comp")))
+        new = (labels.join(nb, labels["doc_id"] == nb["u"], "left")
+               .select(labels["doc_id"],
+                       F.least(labels["comp"],
+                               F.coalesce(F.col("nb_comp"),
+                                          labels["comp"]))
+                       .alias("comp"))
+               .localCheckpoint())
+        old = labels.select("doc_id", F.col("comp").alias("old_comp"))
+        changed = (new.join(old, "doc_id")
+                   .where(F.col("comp") != F.col("old_comp")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -181,3 +181,17 @@ def test_training_flagship_materialized_reps_equivalent(spark, sf_dir,
         mat._jdf.queryExecution(), "simple")
     assert "reps" in simple  # downstream scans the materialized table
     assert "documents.parquet" not in simple
+
+
+def test_dup_components_chains_and_isolated_families(spark):
+    """Explicit graph: chain 1-2-3 (A~B, B~C, never A~C), pair 5-6,
+    singleton-free by construction — labels converge to the family
+    minimum in O(diameter) rounds."""
+    from optimizerasters_spark.operators import dedup
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13)],
+        "doc_a bigint, doc_b bigint")
+    got = {r["doc_id"]: r["comp"]
+           for r in dedup.dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+                   10: 10, 11: 10, 12: 10, 13: 10}
