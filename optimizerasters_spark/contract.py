@@ -2575,6 +2575,43 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_components(pairs)
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist: every seventh site is blocked; every tenth
+    page moves to a cdn. subdomain of its site, exercising the
+    suffix-match path — survivors are pages whose registered domain is
+    clean, bare host or subdomain alike."""
+    from optimizerasters_spark.operators import web
+    p = synth_pages(spark, sf_dir)
+    blocked = (web.url_parts(p).where(F.col("doc_id") % 7 == 0)
+               .select(F.col("domain").alias("bdom")).distinct())
+    fixture = p.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.regexp_replace(F.col("url"), "^https://",
+                                "https://cdn."))
+         .otherwise(F.col("url")))
+    return web.blocklist_filter(fixture, blocked) \
+        .select("doc_id", "host")
+
+
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal over the paragraph fixture: the
+    10-doc group paragraph and the global footer exceed doc_freq 5 and
+    vanish from EVERY doc (first occurrence included — the semantic
+    difference from paragraph_dedup); the unique doc-prefixed
+    paragraph survives."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    p1 = F.concat(F.lit("doc "), i.cast("string"), F.lit(" "),
+                  F.substring(F.col("text"), 1, 40))
+    p2 = F.concat(F.lit("shared paragraph for group "),
+                  F.floor(i / 10).cast("string"))
+    fixture = d.withColumn(
+        "text",
+        F.concat_ws("\n", p1, p2, F.lit("global footer boilerplate")))
+    return dedup.remove_boilerplate(fixture, min_doc_freq=5)
+
+
 QUERIES.update({
     "pii_scrub": q_pii_scrub,
     "repetition_quality": q_repetition_quality,
@@ -2582,7 +2619,59 @@ QUERIES.update({
     "paragraph_dedup": q_paragraph_dedup,
     "ring_stats": q_ring_stats,
     "dup_components": q_dup_components,
+    "blocklist_filter": q_blocklist_filter,
+    "remove_boilerplate": q_remove_boilerplate,
 })
+
+ORACLES["blocklist_filter"] = f"""
+{_W},
+u AS (SELECT doc_id,
+        CASE WHEN doc_id % 10 = 0
+             THEN regexp_replace(url, '^https://', 'https://cdn.')
+             ELSE url END AS url
+      FROM pages),
+h AS (SELECT doc_id,
+        regexp_extract(url, '^https?://([^/]+)', 1) AS host
+      FROM u),
+b AS (SELECT DISTINCT
+        regexp_extract(url, '^https?://([^/]+)', 1) AS bdom
+      FROM pages WHERE doc_id % 7 = 0)
+SELECT doc_id, host FROM h
+WHERE NOT EXISTS (SELECT 1 FROM b
+                  WHERE h.host = b.bdom
+                     OR ends_with(h.host, '.' || b.bdom))
+"""
+
+ORACLES["remove_boilerplate"] = """
+WITH f AS (
+  SELECT doc_id,
+    'doc ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40)
+    || chr(10) || 'shared paragraph for group '
+    || CAST(doc_id // 10 AS VARCHAR)
+    || chr(10) || 'global footer boilerplate' AS t
+  FROM documents),
+p AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      generate_series(1, len(string_split(t, chr(10)))),
+      k -> {'idx': k - 1, 'para': string_split(t, chr(10))[k]})) AS pr
+  FROM f),
+q AS (SELECT doc_id, pr.idx AS idx, pr.para AS para,
+        sha256(pr.para) AS psha
+      FROM p),
+hot AS (SELECT psha FROM q
+        GROUP BY psha HAVING COUNT(DISTINCT doc_id) >= 5),
+m AS (SELECT q.doc_id, q.idx, q.para,
+        NOT EXISTS (SELECT 1 FROM hot WHERE hot.psha = q.psha) AS kept
+      FROM q)
+SELECT doc_id,
+  COUNT(*) AS n_paras,
+  COUNT(*) FILTER (WHERE kept) AS n_kept,
+  CASE WHEN COUNT(*) FILTER (WHERE kept) > 0 THEN
+    sha256(string_agg(para, chr(10) ORDER BY idx)
+           FILTER (WHERE kept)) END AS clean_sha
+FROM m GROUP BY doc_id
+"""
 
 ORACLES["dup_components"] = """
 WITH RECURSIVE f AS (
@@ -2936,6 +3025,8 @@ GATE_PRIORITY = [
     "pq_adc_topk",          # NEW: ADC compressed search
     "ivf_pq_topk",          # NEW: IVF+PQ composed search
     "dup_components",       # NEW: transitive dup families (CC)
+    "blocklist_filter",     # NEW: domain blocklist suffix filter
+    "remove_boilerplate",   # NEW: corpus-wide boilerplate removal
     "geoparse",             # CHANGED: 3-format pattern matrix + fixture
     "media_resize",         # CHANGED: resize_ok dead-letter column
     "encoder_matrix",       # encoder.py changed (argv parity)
@@ -2955,9 +3046,8 @@ GATE_PRIORITY = [
     # rows with implementations unchanged since that gate ran)
     "training_flagship", "minhash_lsh_pairs", "ngram_jaccard",
     "ivf_train", "kmeans_assign", "sq_encode",
-    "pip_join", "pip_join_left",
     # ------------------- gate-window boundary (50) -----------------------
-    "chunk_documents", "pip_join_convex",
+    "pip_join", "pip_join_left", "chunk_documents", "pip_join_convex",
     "knn_per_cell", "dedup_latest",
     "html_extract", "asof_join", "url_parts", "domain_cap",
     "hash_sample",

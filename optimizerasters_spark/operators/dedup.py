@@ -285,3 +285,54 @@ def dup_components(pairs: DataFrame, max_iters: int = 20,
         if changed == 0:
             break
     return labels
+
+
+def boilerplate_paragraphs(docs: DataFrame, min_doc_freq: int = 2,
+                           sep: str = "\n",
+                           text_col: str = "text") -> DataFrame:
+    """Paragraphs appearing in >= min_doc_freq DISTINCT documents —
+    the corpus-wide boilerplate census (nav bars, cookie banners,
+    terms-of-service footers). One explode + one partial-agg
+    countDistinct keyed on the paragraph sha."""
+    paras = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"))
+        .withColumn("psha", F.sha2(F.col("para"), 256)))
+    return (paras.groupBy("psha")
+            .agg(F.min("para").alias("para"),
+                 F.countDistinct("doc_id").cast("bigint")
+                  .alias("doc_freq"))
+            .where(F.col("doc_freq") >= min_doc_freq))
+
+
+def remove_boilerplate(docs: DataFrame, min_doc_freq: int = 2,
+                       sep: str = "\n",
+                       text_col: str = "text") -> DataFrame:
+    """C4-style boilerplate REMOVAL: unlike paragraph_dedup (first
+    occurrence kept), a paragraph frequent enough to be boilerplate is
+    dropped from EVERY document including the first — boilerplate is
+    noise, not content. Returns per doc: paragraph counts before and
+    after and the sha256 of the cleaned text (NULL when nothing
+    survives). Shuffles on paragraph sha and doc_id only."""
+    paras = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"))
+        .withColumn("psha", F.sha2(F.col("para"), 256)))
+    hot = boilerplate_paragraphs(docs, min_doc_freq, sep, text_col) \
+        .select("psha", F.lit(True).alias("hot"))
+    marked = (paras.join(hot, "psha", "left")
+              .withColumn("kept", F.col("hot").isNull()))
+    out = (marked.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+                F.sum(F.col("kept").cast("bigint")).cast("bigint")
+                 .alias("n_kept"),
+                F.sha2(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("kept"),
+                                   F.struct("idx", "para")))),
+                        lambda s: s["para"]),
+                    sep), 256).alias("_sha")))
+    return out.select(
+        "doc_id", "n_paras", "n_kept",
+        F.when(F.col("n_kept") > 0, F.col("_sha")).alias("clean_sha"))

@@ -162,3 +162,20 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_phones.cast("bigint").alias("n_phones"),
         scrubbed.alias("scrubbed"),
         F.sha2(scrubbed, 256).alias("scrub_sha"))
+
+
+def blocklist_filter(pages: DataFrame, blocked: DataFrame,
+                     url_col: str = "url",
+                     dom_col: str = "bdom") -> DataFrame:
+    """Drop pages whose registered domain is on a blocklist — exact
+    host match OR any subdomain (host ends with ".domain"). The spam /
+    adult / known-pirated domain list every crawl corpus applies. A
+    blocklist is tiny by definition, so this is a broadcast anti-join
+    on the suffix predicate (nested-loop on the broadcast side — rows
+    scale with |pages| * |blocklist|, the standard shape); pages never
+    shuffle. Returns the surviving pages with their host attached."""
+    withh = url_parts(pages, url_col)
+    cond = (withh["host"] == blocked[dom_col]) | \
+        withh["host"].endswith(F.concat(F.lit("."), blocked[dom_col]))
+    return (withh.join(F.broadcast(blocked), cond, "left_anti")
+            .drop("domain", "path_depth"))
