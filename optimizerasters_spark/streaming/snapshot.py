@@ -94,3 +94,36 @@ def windowed_rates(spark: SparkSession, input_dir: str,
             .withWatermark("event_ts", watermark)
             .groupBy(F.window("event_ts", window), F.col("lang"))
             .agg(F.count(F.lit(1)).alias("page_count")))
+
+
+DOCS_STREAM_SCHEMA = "doc_id BIGINT, text STRING, lang STRING"
+
+
+def streaming_corpus_ingest(spark: SparkSession, input_dir: str,
+                            builder, available_now: bool = True):
+    """The unbounded-crawl corpus builder: document parquet files
+    appearing under ``input_dir`` flow through
+    training_incremental.CorpusBuilder.ingest per micro-batch — each
+    batch dedups (exact + LSH near-dup) against everything ACCEPTED so
+    far, O(batch), never O(corpus). Exactly-once without streaming
+    state: foreachBatch may REPLAY a batch after a crash, and the
+    builder's attempt/commit markers + sha anti-join make a replayed
+    ingest a no-op (re-accepted docs are exact dups of committed
+    rows) — the same idempotence the batch engine gets from
+    append+dedup. Returns the StreamingQuery."""
+    stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        builder.ingest(batch_df.sparkSession, batch_df)
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(builder.workdir, "_stream_ckpt")))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(processingTime="20 seconds").start()
+    return q

@@ -116,3 +116,43 @@ def test_streaming_exact_dedup_bounded_state(spark, sf_dir, tmp_path):
     n_distinct = pages.select(F.sha2("text", 256)).distinct().count()
     assert len(got) == n_distinct
     assert len({r["text_sha"] for r in got}) == n_distinct
+
+
+def test_streaming_corpus_ingest_dedups_and_replays_idempotently(
+        spark, sf_dir, tmp_path):
+    """CorpusBuilder behind foreachBatch: files arriving across two
+    stream passes dedup against accepted state exactly like batch
+    ingest, and re-delivering already-committed files (the foreachBatch
+    replay case) accepts nothing new."""
+    from optimizerasters_spark.operators.training_incremental import (
+        CorpusBuilder,
+    )
+    from optimizerasters_spark.streaming.snapshot import (
+        streaming_corpus_ingest,
+    )
+    input_dir = str(tmp_path / "corpus_in")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang").where(F.col("doc_id") < 120)
+    b1 = docs.where(F.col("doc_id") < 80)
+    b1.write.mode("append").parquet(input_dir)
+
+    cb = CorpusBuilder(str(tmp_path / "corpus_state"))
+    streaming_corpus_ingest(spark, input_dir, cb)
+    n1 = cb.kept(spark).count()
+    assert n1 > 0
+
+    # second wave: new docs + exact copies of already-accepted ones
+    b2 = docs.where(F.col("doc_id") >= 80).unionByName(
+        b1.limit(20).withColumn("doc_id", F.col("doc_id") + 900000))
+    b2.write.mode("append").parquet(input_dir)
+    streaming_corpus_ingest(spark, input_dir, cb)
+    n2 = cb.kept(spark).count()
+    assert n2 > n1
+    copies = {r["doc_id"] for r in cb.kept(spark).collect()}
+    assert not any(d >= 900000 for d in copies)  # replicas rejected
+
+    # replay: same files again (fresh checkpoint simulates redelivery)
+    import shutil
+    shutil.rmtree(str(tmp_path / "corpus_state" / "_stream_ckpt"))
+    streaming_corpus_ingest(spark, input_dir, cb)
+    assert cb.kept(spark).count() == n2  # idempotent
