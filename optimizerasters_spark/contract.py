@@ -2612,6 +2612,18 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_boilerplate(fixture, min_doc_freq=5)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling: en kept at 20%, de at 50%,
+    zh at 100%, everything else dropped — the reproducible
+    training-mix primitive (same survivors on any engine or cluster
+    size)."""
+    from optimizerasters_spark.operators import web
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return web.stratified_hash_sample(
+        d, {"en": 200, "de": 500, "zh": 1000}) \
+        .select("doc_id", "lang")
+
+
 QUERIES.update({
     "pii_scrub": q_pii_scrub,
     "repetition_quality": q_repetition_quality,
@@ -2621,7 +2633,16 @@ QUERIES.update({
     "dup_components": q_dup_components,
     "blocklist_filter": q_blocklist_filter,
     "remove_boilerplate": q_remove_boilerplate,
+    "stratified_sample": q_stratified_sample,
 })
+
+ORACLES["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000 <
+      (CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500
+                 WHEN 'zh' THEN 1000 ELSE 0 END)
+"""
 
 ORACLES["blocklist_filter"] = f"""
 {_W},
@@ -3027,6 +3048,7 @@ GATE_PRIORITY = [
     "dup_components",       # NEW: transitive dup families (CC)
     "blocklist_filter",     # NEW: domain blocklist suffix filter
     "remove_boilerplate",   # NEW: corpus-wide boilerplate removal
+    "stratified_sample",    # NEW: per-language deterministic sampling
     "geoparse",             # CHANGED: 3-format pattern matrix + fixture
     "media_resize",         # CHANGED: resize_ok dead-letter column
     "encoder_matrix",       # encoder.py changed (argv parity)
@@ -3045,9 +3067,10 @@ GATE_PRIORITY = [
     # their rows stay fresh too (remaining queries ride their green r03
     # rows with implementations unchanged since that gate ran)
     "training_flagship", "minhash_lsh_pairs", "ngram_jaccard",
-    "ivf_train", "kmeans_assign", "sq_encode",
+    "ivf_train", "kmeans_assign",
     # ------------------- gate-window boundary (50) -----------------------
-    "pip_join", "pip_join_left", "chunk_documents", "pip_join_convex",
+    "sq_encode", "pip_join", "pip_join_left", "chunk_documents",
+    "pip_join_convex",
     "knn_per_cell", "dedup_latest",
     "html_extract", "asof_join", "url_parts", "domain_cap",
     "hash_sample",

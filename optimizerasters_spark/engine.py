@@ -183,12 +183,16 @@ class Engine:
     # -- lifecycle ---------------------------------------------------------
     def run(self, spark: SparkSession,
             pages: DataFrame | None = None,
-            til_members: DataFrame | None = None) -> dict[str, DataFrame]:
+            til_members: DataFrame | None = None,
+            blocked: DataFrame | None = None) -> dict[str, DataFrame]:
         """``til_members`` (url, til_group) is the DECLARED group
         membership — the .til content analog. Completeness is judged
         against it, so members absent from this run's input keep their
         group un-finalized until a later run processes them. Defaults to
-        deriving membership from the current input."""
+        deriving membership from the current input. ``blocked`` (bdom)
+        is an optional domain blocklist applied with the other ingest
+        hygiene filters (web.blocklist_filter — exact host or subdomain
+        suffix), before the ledger init."""
         conf = self.conf
         os.makedirs(conf.workdir, exist_ok=True)
         L.vacuum(conf.workdir)  # drop snapshots no plan can reference now
@@ -207,6 +211,9 @@ class Engine:
             from optimizerasters_spark.operators import web
             pages = pages.withColumn("text",
                                      web.scrubbed_col(F.col("text")))
+        if blocked is not None:
+            from optimizerasters_spark.operators import web
+            pages = web.blocklist_filter(pages, blocked).drop("host")
 
         led = L.read_ledger(spark, conf.workdir)
         if led is None:

@@ -179,3 +179,26 @@ def blocklist_filter(pages: DataFrame, blocked: DataFrame,
         withh["host"].endswith(F.concat(F.lit("."), blocked[dom_col]))
     return (withh.join(F.broadcast(blocked), cond, "left_anti")
             .drop("domain", "path_depth"))
+
+
+def stratified_hash_sample(df: DataFrame, rates_milli: dict[str, int],
+                           default_milli: int = 0,
+                           strat_col: str = "lang",
+                           key_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling — the training-MIX knob: each
+    language (or any stratum) gets its own md5-threshold rate out of
+    1000, so a corpus can up/down-weight languages reproducibly (the
+    same rows survive on any engine, cluster size, or partitioning —
+    unlike rand()-based stratified sampling). Strata absent from
+    ``rates_milli`` fall back to ``default_milli``. Pure column
+    expression: the rate lookup is a plan-time CASE chain, the bucket
+    the same md5 primitive as hash_sample."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("bigint"),
+        F.lit(1000))
+    rate = F.lit(default_milli)
+    for stratum, milli in sorted(rates_milli.items()):
+        rate = F.when(F.col(strat_col) == stratum,
+                      F.lit(milli)).otherwise(rate)
+    return df.where(bucket < rate)

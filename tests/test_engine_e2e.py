@@ -286,6 +286,28 @@ def test_engine_scrub_pii_redacts_before_any_output(spark, sf_dir,
     assert res2["page_tiles"].count() == out.count()
 
 
+def test_engine_blocklist_excludes_domains_from_job_universe(
+        spark, sf_dir, tmp_path):
+    """A blocklist passed to run() removes blocked-domain pages before
+    the ledger init — they never appear in page_tiles OR the ledger."""
+    from optimizerasters_spark.operators import web
+    wd = str(tmp_path / "blockjob")
+    pages = synth_pages(spark, sf_dir)
+    blocked = (web.url_parts(pages).where(F.col("doc_id") % 5 == 0)
+               .select(F.col("domain").alias("bdom")).distinct())
+    eng = Engine(JobConf(sf_dir=sf_dir, workdir=wd))
+    res = eng.run(spark, pages=pages, blocked=blocked)
+    hosts = web.url_parts(res["page_tiles"], "url")
+    leaked = hosts.join(
+        blocked, hosts["domain"] == blocked["bdom"], "left_semi").count()
+    assert leaked == 0
+    led_hosts = web.url_parts(res["ledger"], "url")
+    assert led_hosts.join(blocked,
+                          led_hosts["domain"] == blocked["bdom"],
+                          "left_semi").count() == 0
+    assert res["page_tiles"].count() > 0
+
+
 def test_til_finalize_noop_when_nothing_releasing(spark, sf_dir,
                                                   tmp_path):
     """VERDICT r03 'What's wrong' #1: a steady-state resume (no group
