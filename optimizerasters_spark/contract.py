@@ -2612,6 +2612,26 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_boilerplate(fixture, min_doc_freq=5)
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard-agent robots.txt politeness at corpus build: every
+    fourth host publishes robots — half disallow the /p/ prefix under
+    'User-agent: *' (their pages drop), half disallow it only for a
+    named bot with the wildcard group disallowing /static/ (their
+    pages pass). Hosts without robots pass through."""
+    from optimizerasters_spark.operators import web
+    p = synth_pages(spark, sf_dir)
+    i = F.col("doc_id")
+    hosts = web.url_parts(p).where(i % 4 == 0)
+    txt = F.when(
+        i % 8 == 0,
+        F.lit("User-agent: *\nDisallow: /p/\nDisallow: /tmp/\n")
+    ).otherwise(F.lit(
+        "User-agent: evilbot\nDisallow: /p/\n\n"
+        "User-agent: *\nDisallow: /static/\n"))
+    robots = hosts.select("host", txt.alias("robots_txt"))
+    return web.robots_filter(p, robots).select("doc_id", "host")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic sampling: en kept at 20%, de at 50%,
     zh at 100%, everything else dropped — the reproducible
@@ -2634,7 +2654,40 @@ QUERIES.update({
     "blocklist_filter": q_blocklist_filter,
     "remove_boilerplate": q_remove_boilerplate,
     "stratified_sample": q_stratified_sample,
+    "robots_filter": q_robots_filter,
 })
+
+ORACLES["robots_filter"] = f"""
+{_W},
+h AS (SELECT doc_id, url,
+        regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path
+      FROM pages),
+r AS (SELECT host,
+        CASE WHEN doc_id % 8 = 0
+          THEN 'User-agent: *' || chr(10) || 'Disallow: /p/'
+               || chr(10) || 'Disallow: /tmp/' || chr(10)
+          ELSE 'User-agent: evilbot' || chr(10) || 'Disallow: /p/'
+               || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+               || 'Disallow: /static/' || chr(10) END AS robots_txt
+      FROM h WHERE doc_id % 4 = 0),
+rules AS (
+  SELECT host,
+    list_filter(
+      flatten(list_transform(
+        list_filter(string_split(robots_txt, 'User-agent:'),
+                    b -> trim(string_split(b, chr(10))[1]) = '*'),
+        b -> list_transform(
+               list_filter(string_split(b, chr(10)),
+                           ln -> starts_with(trim(ln), 'Disallow:')),
+               ln -> trim(regexp_replace(trim(ln), '^Disallow:', ''))))),
+      p -> p <> '') AS dis
+  FROM r)
+SELECT h.doc_id, h.host
+FROM h LEFT JOIN rules USING (host)
+WHERE rules.dis IS NULL
+   OR len(list_filter(rules.dis, p -> starts_with(h.path, p))) = 0
+"""
 
 ORACLES["stratified_sample"] = """
 SELECT doc_id, lang FROM documents
@@ -3049,6 +3102,7 @@ GATE_PRIORITY = [
     "blocklist_filter",     # NEW: domain blocklist suffix filter
     "remove_boilerplate",   # NEW: corpus-wide boilerplate removal
     "stratified_sample",    # NEW: per-language deterministic sampling
+    "robots_filter",        # NEW: robots.txt wildcard-agent politeness
     "geoparse",             # CHANGED: 3-format pattern matrix + fixture
     "media_resize",         # CHANGED: resize_ok dead-letter column
     "encoder_matrix",       # encoder.py changed (argv parity)
@@ -3067,10 +3121,10 @@ GATE_PRIORITY = [
     # their rows stay fresh too (remaining queries ride their green r03
     # rows with implementations unchanged since that gate ran)
     "training_flagship", "minhash_lsh_pairs", "ngram_jaccard",
-    "ivf_train", "kmeans_assign",
+    "ivf_train",
     # ------------------- gate-window boundary (50) -----------------------
-    "sq_encode", "pip_join", "pip_join_left", "chunk_documents",
-    "pip_join_convex",
+    "kmeans_assign", "sq_encode", "pip_join", "pip_join_left",
+    "chunk_documents", "pip_join_convex",
     "knn_per_cell", "dedup_latest",
     "html_extract", "asof_join", "url_parts", "domain_cap",
     "hash_sample",

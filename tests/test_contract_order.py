@@ -12,7 +12,7 @@ R04_NEW_OR_CHANGED = [
     "pip_join_ring", "pii_scrub", "repetition_quality", "decontaminate",
     "paragraph_dedup", "ring_stats", "pq_encode", "pq_adc_topk",
     "ivf_pq_topk", "dup_components", "blocklist_filter",
-    "remove_boilerplate", "stratified_sample",
+    "remove_boilerplate", "stratified_sample", "robots_filter",
     "geoparse", "media_resize", "encoder_matrix", "til_finalize",
 ]
 

@@ -255,3 +255,45 @@ def test_url_parts_multi_label_hosts(spark):
     assert r[1] == ("a.b.example.com", "example.com", 2)
     assert r[2] == ("example.com", "example.com", 0)
     assert r[3] == ("sub.site9.example", "site9.example", 2)
+
+
+def test_warc_expand_roundtrip_gzip_and_dead_letter(spark):
+    """WARC segments (Common Crawl's arrival format) explode into one
+    row per response record: plain + gzip segments round-trip through
+    write_warc_bytes/parse, request records are skipped, and a corrupt
+    segment dead-letters as parse_ok=false instead of failing the
+    task."""
+    import gzip as _gz
+    from optimizerasters_spark.sources import warc
+
+    recs = [(f"https://site{i}.example/p/{i}",
+             f"2026-08-17T0{i}:00:00Z",
+             (b"payload-" + str(i).encode()) * (i + 1))
+            for i in range(5)]
+    seg = warc.write_warc_bytes(recs)
+    # splice in a non-response record — must be skipped
+    other = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+             b"WARC-Target-URI: https://skip.example/\r\n"
+             b"Content-Length: 3\r\n\r\nxyz\r\n\r\n")
+    seg = other + seg
+    df = spark.createDataFrame(
+        [("s1.warc", bytearray(seg)),
+         ("s2.warc.gz", bytearray(_gz.compress(seg))),
+         ("bad.warc", bytearray(b"not a warc at all"))],
+        "path string, content binary")
+    out = warc.expand_warcs(df).collect()
+    ok = [r for r in out if r["parse_ok"]]
+    bad = [r for r in out if not r["parse_ok"]]
+    assert len(ok) == 10 and len(bad) == 1  # 5 responses x 2 segments
+    assert bad[0]["segment"] == "bad.warc"
+    by_seg = {}
+    for r in ok:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg_rows in by_seg.values():
+        got = sorted((r["url"], bytes(r["payload"])) for r in seg_rows)
+        want = sorted((u, p) for u, _, p in recs)
+        assert got == want
+    assert all(r["url"] != "https://skip.example/" for r in ok)
+    # parity: the pure parser agrees with the Spark rows
+    plain = warc.parse_warc_bytes(seg)
+    assert len(plain) == 5
