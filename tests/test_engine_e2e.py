@@ -392,3 +392,73 @@ def test_engine_hygiene_knobs(spark, sf_dir, tmp_path):
                   (F.col("run_id") == eng2.run_id))
           .agg(F.sum("rows")).collect()[0][0])
     assert n2 == 0
+
+
+def test_warc_to_training_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """The full web-corpus path composed from this repo's pieces: WARC
+    segments -> response records (expand_warcs) -> text decode ->
+    robots politeness -> PII scrub -> deduped corpus ingest
+    (CorpusBuilder) — the pipeline a Common-Crawl user actually runs,
+    end to end, with byte-identity of surviving scrubbed texts."""
+    from optimizerasters_spark.operators import web
+    from optimizerasters_spark.operators.training_incremental import (
+        CorpusBuilder,
+    )
+    from optimizerasters_spark.sources import warc
+
+    docs = [(r["doc_id"], r["text"]) for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").where(F.col("doc_id") < 60)
+            .collect()]
+    # 3 segments x 20 records; every 5th record duplicates content;
+    # host site{doc% 7}.example so robots rules bite across records
+    def rec(doc_id, text):
+        body = text if doc_id % 5 != 4 else docs[0][1]   # planted dup
+        body += f" mail user{doc_id}@x.example.com"
+        return (f"https://site{doc_id % 7}.example/p/{doc_id}",
+                "2026-08-17T00:00:00Z", body.encode())
+    segs = []
+    for s in range(3):
+        chunk = [rec(d, t) for d, t in docs[s * 20:(s + 1) * 20]]
+        segs.append((f"seg{s}.warc", bytearray(warc.write_warc_bytes(chunk))))
+    seg_df = spark.createDataFrame(segs, "path string, content binary")
+
+    records = warc.expand_warcs(seg_df).where("parse_ok")
+    assert records.count() == 60
+    pages = records.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        "url",
+        F.decode(F.col("payload"), "UTF-8").alias("text"))
+    # robots: site0 disallows /p/ for the wildcard agent
+    robots = spark.createDataFrame(
+        [("site0.example", "User-agent: *\nDisallow: /p/\n")],
+        "host string, robots_txt string")
+    polite = web.robots_filter(pages, robots)
+    n_site0 = pages.where(F.col("url").contains("//site0.")).count()
+    assert n_site0 > 0
+    assert polite.count() == 60 - n_site0
+    # PII scrub before anything persists
+    clean = polite.withColumn("text", web.scrubbed_col(F.col("text")))
+    assert clean.where(F.col("text").contains("@x.example.com")) \
+                .count() == 0
+    # corpus ingest: planted exact dups collapse
+    cb = CorpusBuilder(str(tmp_path / "warc_corpus"))
+    stats = cb.ingest(spark, clean.select("doc_id", "text"))
+    assert stats["in"] == 60 - n_site0
+    kept = cb.kept(spark)
+    # survivors are byte-identical to inputs (no text mutation in the
+    # pipeline) and the planted exact-dup family (doc%5==4 -> docs[0]
+    # body, identical after scrub) collapses to exactly ONE kept row;
+    # the builder may additionally drop genuine near-dups, so kept is
+    # a subset of the distinct inputs, never a superset
+    shas_in = {r[0] for r in
+               clean.select(F.sha2("text", 256)).distinct().collect()}
+    out_rows = [r[0] for r in kept.select(F.sha2("text", 256)).collect()]
+    shas_out = set(out_rows)
+    assert len(out_rows) == len(shas_out)          # no dup kept twice
+    assert shas_out <= shas_in
+    assert stats["accepted"] < stats["in"]         # dups really dropped
+    import hashlib
+    fam = hashlib.sha256(
+        (docs[0][1] + " mail <EMAIL>").encode()).hexdigest()
+    assert out_rows.count(fam) == 1                # planted family -> 1
