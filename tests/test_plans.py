@@ -276,6 +276,32 @@ def test_decontaminate_broadcasts_benchmark_ngrams(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
 
 
+def test_robots_filter_broadcasts_rules_no_page_shuffle(spark, sf_dir):
+    """robots.txt rules are per-host prefix arrays, broadcast — the
+    pages side must not shuffle and no Python may appear (the parse is
+    pure array functions)."""
+    from optimizerasters_spark.operators import web
+    p = synth_pages(spark, sf_dir)
+    robots = spark.createDataFrame(
+        [("site1.example", "User-agent: *\nDisallow: /p/\n")],
+        "host string, robots_txt string")
+    plan = _plan(web.robots_filter(p, robots))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_stratified_sample_is_pure_codegen(spark, sf_dir):
+    """Per-stratum deterministic sampling is a plan-time CASE chain +
+    md5 threshold: zero shuffles, zero Python — it folds into the scan
+    stage at corpus scale."""
+    from optimizerasters_spark.operators import web
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(web.stratified_hash_sample(d, {"en": 200, "de": 500}))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
 def test_pip_ring_never_shuffles_pages(spark, sf_dir):
     """The arbitrary-ring exact PIP (even-odd ray cast) keeps the same
     guarantee: broadcast cover, zero Exchange on the pages side, the
