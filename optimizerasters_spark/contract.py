@@ -2940,9 +2940,19 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode: each vector becomes M=2 codebook
     codes (nearest entry per 32-dim subspace, integer squared L2).
     Stride-sampled codebooks keep the whole stage SQL-expressible;
-    pq_train's Lloyd-refined books drop in behind the same shape."""
+    pq_train's Lloyd-refined books drop in behind the same shape.
+    Gate shape: the code ARRAY is exploded to (vec_id, m, code) rows —
+    the driver's canonicalizer sorts result columns with pandas and
+    cannot hash list cells (r04's only red row); every registered
+    query emits scalar columns only (pinned by
+    tests/test_contract_order.py::test_gate_safe_output_schemas)."""
     v, cb = _pq_parts(spark, sf_dir)
-    return similarity.pq_encode(v, cb, m=PQ_M, dim=PQ_DIM)
+    codes = similarity.pq_encode(v, cb, m=PQ_M, dim=PQ_DIM)
+    return codes.select(
+        "vec_id",
+        F.posexplode("codes").alias("m", "code")).select(
+        "vec_id", F.col("m").cast("int").alias("m"),
+        F.col("code").cast("int").alias("code"))
 
 
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3000,8 +3010,8 @@ best AS (
 
 ORACLES["pq_encode"] = f"""
 WITH {_PQ_CTES.strip()}
-SELECT vec_id, CAST(list(cent_id ORDER BY m) AS INT[]) AS codes
-FROM best GROUP BY vec_id
+SELECT vec_id, CAST(m AS INT) AS m, CAST(cent_id AS INT) AS code
+FROM best
 """
 
 ORACLES["pq_adc_topk"] = f"""

@@ -77,6 +77,23 @@ def test_reorder_loses_no_queries():
     assert not no_oracle, f"queries without oracle SQL: {no_oracle}"
 
 
+def test_gate_safe_output_schemas(spark, sf_dir):
+    """The driver's canonicalizer sorts result columns with pandas
+    before hashing; list/dict cells are unhashable and ERROR the gate
+    row (r04's pq_encode). Every registered query must therefore emit
+    scalar columns only — arrays/maps are exploded or joined into
+    strings before return. Schema analysis only, no execution."""
+    from pyspark.sql import types as T
+    bad = {}
+    for name, fn in contract.QUERIES.items():
+        schema = fn(spark, sf_dir).schema
+        offending = [f.name for f in schema.fields
+                     if isinstance(f.dataType, (T.ArrayType, T.MapType))]
+        if offending:
+            bad[name] = offending
+    assert not bad, f"array/map output columns break the gate: {bad}"
+
+
 def test_priority_list_names_exist():
     # a typo in GATE_PRIORITY would silently drop a query out of the
     # window — every listed name must be registered
