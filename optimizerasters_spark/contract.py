@@ -2526,16 +2526,21 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unique (doc_id-prefixed), paragraph 2 is shared across each
     10-doc group, and paragraph 3 is global boilerplate — first
     occurrence (lowest doc_id, then index) keeps each; the kept-text
-    sha is the byte-exact parity surface."""
+    sha is the byte-exact parity surface. Every 25th doc (i%25==24)
+    carries ONLY the shared + footer paragraphs, both first seen at a
+    lower doc_id — the fully-duplicated n_kept=0 case (common at
+    corpus scale) whose kept_sha must come back NULL."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     i = F.col("doc_id")
     p1 = F.concat(F.lit("doc "), i.cast("string"), F.lit(" "),
                   F.substring(F.col("text"), 1, 40))
     p2 = F.concat(F.lit("shared paragraph for group "),
                   F.floor(i / 10).cast("string"))
+    footer = F.lit("global footer boilerplate")
     fixture = d.withColumn(
         "text",
-        F.concat_ws("\n", p1, p2, F.lit("global footer boilerplate")))
+        F.when(i % 25 == 24, F.concat_ws("\n", p2, footer))
+         .otherwise(F.concat_ws("\n", p1, p2, footer)))
     return dedup.paragraph_dedup(fixture)
 
 
@@ -2894,10 +2899,14 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
     "paragraph_dedup": """
 WITH f AS (
   SELECT doc_id,
-    'doc ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40)
-    || chr(10) || 'shared paragraph for group '
-    || CAST(doc_id // 10 AS VARCHAR)
-    || chr(10) || 'global footer boilerplate' AS t
+    CASE WHEN doc_id % 25 = 24 THEN
+      'shared paragraph for group ' || CAST(doc_id // 10 AS VARCHAR)
+      || chr(10) || 'global footer boilerplate'
+    ELSE
+      'doc ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40)
+      || chr(10) || 'shared paragraph for group '
+      || CAST(doc_id // 10 AS VARCHAR)
+      || chr(10) || 'global footer boilerplate' END AS t
   FROM documents),
 p AS (
   SELECT doc_id,
@@ -2906,17 +2915,18 @@ p AS (
       k -> {'idx': k - 1, 'para': string_split(t, chr(10))[k]})) AS pr
   FROM f),
 q AS (SELECT doc_id, pr.idx AS idx, pr.para AS para,
-        sha256(pr.para) AS psha,
-        doc_id * 1000000 + pr.idx AS pkey
+        sha256(pr.para) AS psha
       FROM p),
-first AS (SELECT psha, MIN(pkey) AS first_key FROM q GROUP BY 1),
-m AS (SELECT q.doc_id, q.idx, q.para, q.pkey = fs.first_key AS kept
-      FROM q JOIN first fs USING (psha))
+m AS (SELECT doc_id, idx, para,
+        ROW_NUMBER() OVER (PARTITION BY psha
+                           ORDER BY doc_id, idx) = 1 AS kept
+      FROM q)
 SELECT doc_id,
   COUNT(*) AS n_paras,
   COUNT(*) FILTER (WHERE kept) AS n_kept,
-  sha256(string_agg(para, chr(10) ORDER BY idx)
-         FILTER (WHERE kept)) AS kept_sha
+  CASE WHEN COUNT(*) FILTER (WHERE kept) > 0 THEN
+    sha256(string_agg(para, chr(10) ORDER BY idx)
+           FILTER (WHERE kept)) END AS kept_sha
 FROM m GROUP BY doc_id
 """,
 })

@@ -227,22 +227,33 @@ def paragraph_dedup(docs: DataFrame, sep: str = "\n",
              .select("doc_id",
                      F.posexplode(F.split(F.col(text_col), sep))
                      .alias("idx", "para"))
-             .withColumn("psha", F.sha2(F.col("para"), 256))
-             .withColumn("pkey", F.col("doc_id") * 1000000 + F.col("idx")))
-    first = paras.groupBy("psha").agg(F.min("pkey").alias("first_key"))
+             .withColumn("psha", F.sha2(F.col("para"), 256)))
+    # first-occurrence key is the lexicographic (doc_id, idx) struct min
+    # — no packed-integer arithmetic, so no collision at >=1e6
+    # paragraphs per doc; still a map-side partial aggregate
+    first = paras.groupBy("psha").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first_key"))
     marked = (paras.join(first, "psha")
-              .withColumn("kept", F.col("pkey") == F.col("first_key")))
-    return (marked.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_paras"),
-                 F.sum(F.col("kept").cast("bigint")).cast("bigint")
-                  .alias("n_kept"),
-                 F.sha2(F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(
-                             F.when(F.col("kept"),
-                                    F.struct("idx", "para")))),
-                         lambda s: s["para"]),
-                     sep), 256).alias("kept_sha")))
+              .withColumn("kept",
+                          F.struct("doc_id", "idx") == F.col("first_key")))
+    agg = (marked.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+                F.sum(F.col("kept").cast("bigint")).cast("bigint")
+                 .alias("n_kept"),
+                F.sha2(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("kept"),
+                                   F.struct("idx", "para")))),
+                        lambda s: s["para"]),
+                    sep), 256).alias("_sha")))
+    # a doc whose every paragraph first occurred elsewhere keeps
+    # NOTHING — kept_sha must be NULL, not sha256('') (the oracle's
+    # string_agg FILTER yields NULL there; remove_boilerplate already
+    # guards the same case)
+    return agg.select(
+        "doc_id", "n_paras", "n_kept",
+        F.when(F.col("n_kept") > 0, F.col("_sha")).alias("kept_sha"))
 
 
 def dup_components(pairs: DataFrame, max_iters: int = 20,
@@ -284,6 +295,14 @@ def dup_components(pairs: DataFrame, max_iters: int = 20,
         labels = new
         if changed == 0:
             break
+    else:
+        # partially-propagated labels are WRONG answers — never return
+        # them silently (a dup chain deeper than max_iters would
+        # otherwise split one family into several canonical reps)
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — "
+            f"rounds needed equal the duplicate-family diameter")
     return labels
 
 

@@ -195,3 +195,21 @@ def test_dup_components_chains_and_isolated_families(spark):
            for r in dedup.dup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
                    10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_dup_components_raises_instead_of_silent_nonconvergence(spark):
+    """A duplicate chain deeper than max_iters must RAISE — returning
+    partially-propagated labels would silently split one family into
+    several canonical representatives (ADVICE r04). Min-label
+    propagation needs ~diameter rounds for a path graph, so a 12-hop
+    chain cannot converge in 2."""
+    import pytest
+    from optimizerasters_spark.operators import dedup
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a bigint, doc_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_components(chain, max_iters=2)
+    # and a budget >= the diameter still converges to one family
+    got = {r["doc_id"]: r["comp"]
+           for r in dedup.dup_components(chain, max_iters=15).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
