@@ -154,7 +154,8 @@ def rolling_fingerprint(docs: DataFrame,
 
 
 def repetition_quality(docs: DataFrame, text_col: str = "text",
-                       line_sep: str = "\n") -> DataFrame:
+                       line_sep: str = "\n",
+                       max_exact_lines: int = 512) -> DataFrame:
     """Gopher-style repetition signals — the cheap structural filters
     that catch boilerplate/SEO spam which per-token quality scores miss:
 
@@ -164,17 +165,20 @@ def repetition_quality(docs: DataFrame, text_col: str = "text",
       * ``top_bigram_ratio_micro``     — occurrences of the most
         frequent word 2-gram over total 2-grams.
 
-    Line metrics are pure array functions (codegen, no shuffle). The
-    top-bigram mode is explode -> (doc_id, bigram) partial-agg count ->
-    max per doc: two shuffles on uniform high-cardinality keys — the
-    corpus-scale shape, never an O(n²) per-row loop."""
+    Line metrics are pure array functions (codegen, no shuffle) for
+    docs up to ``max_exact_lines`` lines; the per-row dup-char scan is
+    O(lines²) within one row, so docs above the threshold switch to
+    the exploded groupBy(doc_id, line) twin — identical exact values,
+    O(lines) rows through a uniform-keyed shuffle, no pathological
+    100k-line page can pin a task. The top-bigram mode is explode ->
+    (doc_id, bigram) partial-agg count -> max per doc: two shuffles on
+    uniform high-cardinality keys — the corpus-scale shape, never an
+    O(n²) per-row loop."""
     lines = F.split(F.col(text_col), line_sep)
     n_lines = F.size(lines).cast("bigint")
     n_dist = F.size(F.array_distinct(lines)).cast("bigint")
-    # chars in duplicated lines = total chars of lines minus chars of
-    # lines that occur exactly once; exact via the distinct/exploded
-    # twin below would shuffle — stay per-row: a line is "duplicated"
-    # iff it occurs >= 2 times within the doc's own line array
+    # chars in duplicated lines: a line is "duplicated" iff it occurs
+    # >= 2 times within the doc's own line array
     dup_chars = F.aggregate(
         lines, F.lit(0).cast("bigint"),
         lambda acc, ln: acc + F.when(
@@ -183,14 +187,40 @@ def repetition_quality(docs: DataFrame, text_col: str = "text",
     tot_chars = F.aggregate(
         lines, F.lit(0).cast("bigint"),
         lambda acc, ln: acc + F.length(ln))
-    base = docs.select(
-        "doc_id",
+    line_metrics = [
         F.floor((n_lines - n_dist) * MICRO /
                 F.greatest(n_lines, F.lit(1))).cast("bigint")
          .alias("dup_line_ratio_micro"),
         F.floor(dup_chars * MICRO / F.greatest(tot_chars, F.lit(1)))
          .cast("bigint").alias("dup_line_char_ratio_micro"),
-        F.col(text_col))
+    ]
+    base_small = docs.where(F.size(lines) <= max_exact_lines).select(
+        "doc_id", *line_metrics)
+    # exploded twin for long docs: per-line counts, then one row per
+    # doc — sum(c) = n_lines, count(*) = n_dist, lines with c >= 2
+    # contribute c * length(line) duplicated chars; only (doc_id,
+    # line) rows shuffle, never the document text
+    per_line = (docs.where(F.size(lines) > max_exact_lines)
+                .select("doc_id", F.explode(lines).alias("_ln"))
+                .groupBy("doc_id", "_ln")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    eb = per_line.groupBy("doc_id").agg(
+        F.sum("_c").cast("bigint").alias("_n_lines"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_dist"),
+        F.coalesce(F.sum(F.when(F.col("_c") >= 2,
+                                F.col("_c") * F.length("_ln"))),
+                   F.lit(0)).cast("bigint").alias("_dup_chars"),
+        F.sum(F.col("_c") * F.length("_ln")).cast("bigint")
+         .alias("_tot_chars"))
+    base_big = eb.select(
+        "doc_id",
+        F.floor((F.col("_n_lines") - F.col("_n_dist")) * MICRO /
+                F.greatest(F.col("_n_lines"), F.lit(1))).cast("bigint")
+         .alias("dup_line_ratio_micro"),
+        F.floor(F.col("_dup_chars") * MICRO /
+                F.greatest(F.col("_tot_chars"), F.lit(1))).cast("bigint")
+         .alias("dup_line_char_ratio_micro"))
+    base = base_small.unionByName(base_big)
     toks = tokens_col(text_col)
     n_bg = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.when(
@@ -205,7 +235,7 @@ def repetition_quality(docs: DataFrame, text_col: str = "text",
                 .groupBy("doc_id")
                 .agg(F.max("c").alias("top_bg")))
     counts = docs.select("doc_id", n_bg.alias("n_bg"))
-    return (base.drop(text_col)
+    return (base
             .join(counts, "doc_id")
             .join(exploded, "doc_id", "left")
             .select(

@@ -197,6 +197,32 @@ def test_dup_components_chains_and_isolated_families(spark):
                    10: 10, 11: 10, 12: 10, 13: 10}
 
 
+def test_repetition_quality_exploded_twin_matches_array_path(spark):
+    """Docs above max_exact_lines switch from the per-row O(lines²)
+    dup-char scan to the exploded groupBy(doc_id, line) twin — the
+    values must be IDENTICAL (both exact), and a multi-thousand-line
+    doc must flow through the linear path (VERDICT r04 #3)."""
+    from optimizerasters_spark.operators import text as T
+    big = "\n".join([f"line {i % 100}" for i in range(3000)] +
+                    [f"uniq {i}" for i in range(40)])
+    small = "a\nb\na\nc"
+    df = spark.createDataFrame([(1, big), (2, small)],
+                               "doc_id bigint, text string")
+    forced_big = [tuple(r) for r in T.repetition_quality(
+        df, max_exact_lines=0).orderBy("doc_id").collect()]
+    forced_small_doc2 = [tuple(r) for r in T.repetition_quality(
+        df, max_exact_lines=10).orderBy("doc_id").collect()]
+    all_array = [tuple(r) for r in T.repetition_quality(
+        df, max_exact_lines=10 ** 6).orderBy("doc_id").collect()]
+    assert forced_big == forced_small_doc2 == all_array
+    r2 = dict(zip(("doc_id", "dup_line_ratio_micro",
+                   "dup_line_char_ratio_micro",
+                   "top_bigram_ratio_micro"), forced_big[1]))
+    # a,b,a,c: 4 lines / 3 distinct -> 250000; 2 of 4 chars dup'd
+    assert r2["dup_line_ratio_micro"] == 250000
+    assert r2["dup_line_char_ratio_micro"] == 500000
+
+
 def test_dup_components_raises_instead_of_silent_nonconvergence(spark):
     """A duplicate chain deeper than max_iters must RAISE — returning
     partially-propagated labels would silently split one family into
