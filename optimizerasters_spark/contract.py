@@ -2618,21 +2618,35 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wildcard-agent robots.txt politeness at corpus build: every
-    fourth host publishes robots — half disallow the /p/ prefix under
-    'User-agent: *' (their pages drop), half disallow it only for a
-    named bot with the wildcard group disallowing /static/ (their
-    pages pass). Hosts without robots pass through."""
+    """Wildcard-agent robots.txt politeness at corpus build, RFC 9309
+    longest-match precedence. One robots body per publishing host
+    (hosts where some doc_id%4==0 page lives; variant keyed on the
+    host's smallest such doc_id):
+
+      * variant 0 — lowercase field names (case-insensitivity) with
+        'disallow: /p/' + 'allow: /p/1': only pages whose path starts
+        /p/1 survive (the longer Allow beats the shorter Disallow);
+      * variant 4 — Disallow /p/ and /tmp/: every page drops;
+      * variant 8 — a named bot disallows /p/ but the wildcard group
+        only disallows /static/: every page survives.
+
+    Hosts without robots pass through. The oracle encodes the EXPECTED
+    per-variant outcome directly rather than re-implementing the
+    parser — it pins semantics, not implementation."""
     from optimizerasters_spark.operators import web
     p = synth_pages(spark, sf_dir)
     i = F.col("doc_id")
-    hosts = web.url_parts(p).where(i % 4 == 0)
-    txt = F.when(
-        i % 8 == 0,
-        F.lit("User-agent: *\nDisallow: /p/\nDisallow: /tmp/\n")
-    ).otherwise(F.lit(
-        "User-agent: evilbot\nDisallow: /p/\n\n"
-        "User-agent: *\nDisallow: /static/\n"))
+    hosts = (web.url_parts(p).where(i % 4 == 0)
+             .groupBy("host").agg(F.min("doc_id").alias("hid")))
+    j = F.col("hid") % 12
+    txt = (F.when(j == 0,
+                  F.lit("user-agent: *\ndisallow: /p/\nallow: /p/1\n"))
+           .when(j == 4,
+                 F.lit("User-agent: *\nDisallow: /p/\n"
+                       "Disallow: /tmp/\n"))
+           .otherwise(F.lit(
+               "User-agent: evilbot\nDisallow: /p/\n\n"
+               "User-agent: *\nDisallow: /static/\n")))
     robots = hosts.select("host", txt.alias("robots_txt"))
     return web.robots_filter(p, robots).select("doc_id", "host")
 
@@ -2668,30 +2682,16 @@ h AS (SELECT doc_id, url,
         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
         regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path
       FROM pages),
-r AS (SELECT host,
-        CASE WHEN doc_id % 8 = 0
-          THEN 'User-agent: *' || chr(10) || 'Disallow: /p/'
-               || chr(10) || 'Disallow: /tmp/' || chr(10)
-          ELSE 'User-agent: evilbot' || chr(10) || 'Disallow: /p/'
-               || chr(10) || chr(10) || 'User-agent: *' || chr(10)
-               || 'Disallow: /static/' || chr(10) END AS robots_txt
-      FROM h WHERE doc_id % 4 = 0),
-rules AS (
-  SELECT host,
-    list_filter(
-      flatten(list_transform(
-        list_filter(string_split(robots_txt, 'User-agent:'),
-                    b -> trim(string_split(b, chr(10))[1]) = '*'),
-        b -> list_transform(
-               list_filter(string_split(b, chr(10)),
-                           ln -> starts_with(trim(ln), 'Disallow:')),
-               ln -> trim(regexp_replace(trim(ln), '^Disallow:', ''))))),
-      p -> p <> '') AS dis
-  FROM r)
+r AS (SELECT host, MIN(doc_id) % 12 AS variant
+      FROM h WHERE doc_id % 4 = 0 GROUP BY host)
 SELECT h.doc_id, h.host
-FROM h LEFT JOIN rules USING (host)
-WHERE rules.dis IS NULL
-   OR len(list_filter(rules.dis, p -> starts_with(h.path, p))) = 0
+FROM h LEFT JOIN r USING (host)
+WHERE r.variant IS NULL
+   OR (r.variant = 0 AND (NOT starts_with(h.path, '/p/')
+                          OR starts_with(h.path, '/p/1')))
+   OR (r.variant = 4 AND NOT (starts_with(h.path, '/p/')
+                              OR starts_with(h.path, '/tmp/')))
+   OR (r.variant = 8 AND NOT starts_with(h.path, '/static/'))
 """
 
 ORACLES["stratified_sample"] = """

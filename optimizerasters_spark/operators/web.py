@@ -206,44 +206,68 @@ def stratified_hash_sample(df: DataFrame, rates_milli: dict[str, int],
 
 def robots_wildcard_rules(robots: DataFrame, host_col: str = "host",
                           robots_col: str = "robots_txt") -> DataFrame:
-    """Parse robots.txt bodies into (host, disallow: array<string>) for
-    the wildcard agent: split into User-agent blocks, keep blocks whose
-    agent line is '*', collect their Disallow path prefixes. Entirely
-    array functions (codegen) — a 100 TB crawl parses millions of
-    robots bodies in the scan stage. Group semantics are the standard
-    simplification (wildcard group only; per-agent overrides belong to
-    the fetcher, not the corpus filter)."""
-    blocks = F.split(F.col(robots_col), "User-agent:")
+    """Parse robots.txt bodies into
+    (host, rules: array<struct<prefix, allow>>) for the wildcard
+    agent: split into User-agent blocks, keep blocks whose agent line
+    is '*', collect their Disallow AND Allow path prefixes. RFC 9309
+    field names are case-insensitive — the body is canonicalized with
+    (?i) regexes before splitting, so 'user-agent:'/'DISALLOW:' parse
+    identically. Entirely array functions (codegen) — a 100 TB crawl
+    parses millions of robots bodies in the scan stage. Group
+    semantics are the standard simplification (wildcard group only;
+    per-agent overrides belong to the fetcher, not the corpus
+    filter)."""
+    body = F.regexp_replace(F.col(robots_col), "(?i)user-agent:",
+                            "User-agent:")
+    blocks = F.split(body, "User-agent:")
     wc = F.filter(
         blocks,
         lambda b: F.trim(F.get(F.split(b, "\n"), 0)) == "*")
-    prefixes = F.flatten(F.transform(
-        wc,
-        lambda b: F.transform(
+
+    def field_rules(b, rx, allow):
+        return F.transform(
             F.filter(F.split(b, "\n"),
-                     lambda ln: F.trim(ln).startswith("Disallow:")),
-            lambda ln: F.trim(
-                F.regexp_replace(F.trim(ln), "^Disallow:", "")))))
+                     lambda ln: F.trim(ln).rlike(rx)),
+            lambda ln: F.struct(
+                F.trim(F.regexp_replace(F.trim(ln), rx, ""))
+                 .alias("prefix"),
+                F.lit(allow).alias("allow")))
+
+    rules = F.flatten(F.transform(
+        wc,
+        lambda b: F.concat(field_rules(b, "(?i)^disallow:", False),
+                           field_rules(b, "(?i)^allow:", True))))
+    # an empty prefix ("Disallow:" with no value = allow everything)
+    # matches nothing in the longest-match model — drop it
     return robots.select(
         F.col(host_col),
-        F.array_remove(prefixes, "").alias("disallow"))
+        F.filter(rules, lambda r: r["prefix"] != "").alias("rules"))
 
 
 def robots_filter(pages: DataFrame, robots: DataFrame,
                   url_col: str = "url") -> DataFrame:
-    """Drop pages whose URL path falls under a wildcard-agent Disallow
-    prefix for their host — the crawl-politeness filter re-applied at
-    corpus build (hosts' robots bodies ride as a table). Rules are a
-    per-host prefix array, broadcast; pages never shuffle. Pages whose
-    host has no robots row pass through."""
+    """Drop pages whose URL path is governed by a wildcard-agent
+    Disallow rule for their host — the crawl-politeness filter
+    re-applied at corpus build (hosts' robots bodies ride as a table).
+    RFC 9309 precedence: among matching rules the LONGEST prefix wins;
+    on an exact length tie Allow wins. Rules are a per-host prefix
+    array, broadcast; pages never shuffle. Pages whose host has no
+    robots row pass through, and a malformed URL (NULL path) is
+    treated as the empty path — governed only by an empty-prefix rule,
+    never silently dropped."""
     withh = url_parts(pages, url_col).withColumn(
-        "_path", F.parse_url(F.col(url_col), F.lit("PATH")))
+        "_path",
+        F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")))
     rules = robots_wildcard_rules(robots)
     joined = withh.join(F.broadcast(rules), "host", "left")
-    blocked = F.when(
-        F.col("disallow").isNull(), F.lit(False)
-    ).otherwise(
-        F.exists(F.col("disallow"),
-                 lambda p: F.col("_path").startswith(p)))
+    matched = F.filter(F.col("rules"),
+                       lambda r: F.col("_path").startswith(r["prefix"]))
+    # lexicographic struct max = longest prefix first, Allow on ties
+    best = F.array_max(F.transform(
+        matched,
+        lambda r: F.struct(F.length(r["prefix"]).alias("l"),
+                           r["allow"].cast("int").alias("a"))))
+    blocked = F.when(F.col("rules").isNull(), F.lit(False)) \
+        .otherwise(F.coalesce(best["a"] == 0, F.lit(False)))
     return (joined.where(~blocked)
-            .drop("disallow", "_path", "domain", "path_depth"))
+            .drop("rules", "_path", "domain", "path_depth"))

@@ -197,6 +197,31 @@ def test_dup_components_chains_and_isolated_families(spark):
                    10: 10, 11: 10, 12: 10, 13: 10}
 
 
+def test_robots_filter_allow_precedence_case_and_null_path(spark):
+    """RFC 9309 semantics: longest matching prefix governs (Allow
+    /p/ok beats Disallow /p/), an exact-length tie goes to Allow,
+    field names match case-insensitively, a pathless URL is the empty
+    path (never silently dropped), and robots-less hosts pass."""
+    from optimizerasters_spark.operators import web
+    pages = spark.createDataFrame([
+        (1, "https://a.example/p/ok/page"),   # Allow /p/ok wins
+        (2, "https://a.example/p/bad"),       # Disallow /p/ governs
+        (3, "https://a.example/q"),           # no rule matches
+        (4, "https://b.example/d/x"),         # tie -> Allow wins
+        (5, "https://c.example/p/1"),         # DISALLOW: uppercase
+        (6, "https://c.example"),             # NULL path -> ''
+        (7, "https://d.example/p/9"),         # host without robots
+    ], "doc_id bigint, url string")
+    robots = spark.createDataFrame([
+        ("a.example", "User-Agent: *\nDisallow: /p/\nAllow: /p/ok\n"),
+        ("b.example", "user-agent: *\ndisallow: /d/\nallow: /d/\n"),
+        ("c.example", "USER-AGENT: *\nDISALLOW: /p/\n"),
+    ], "host string, robots_txt string")
+    kept = sorted(r["doc_id"]
+                  for r in web.robots_filter(pages, robots).collect())
+    assert kept == [1, 3, 4, 6, 7]
+
+
 def test_repetition_quality_exploded_twin_matches_array_path(spark):
     """Docs above max_exact_lines switch from the per-row O(lines²)
     dup-char scan to the exploded groupBy(doc_id, line) twin — the
