@@ -2992,8 +2992,31 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   dim=PQ_DIM, nprobe=2, k=3)
 
 
+def q_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + RESIDUAL PQ (FAISS-IVFPQ semantics): vectors are stored
+    as PQ codes of (v − list_centroid), codebooks are stride-sampled
+    from the RESIDUAL table, and each query builds one LUT per probed
+    list from its own residual — the coarse term cancels inside the
+    ADC estimate, so the codes spend their bits on within-list
+    displacement. tests/test_kmeans.py proves the quantization error
+    drops vs plain ivf_pq_topk on the same fixture."""
+    v, _ = _pq_parts(spark, sf_dir)
+    coarse = v.where(F.col("vec_id") % 131 == 0).select(
+        (F.col("vec_id") / 131).cast("int").alias("cent_id"),
+        F.col("v").alias("cvec"))
+    res = similarity.residual_vectors(v, coarse)
+    cb = similarity.pq_codebooks_stride(res, m=PQ_M, dim=PQ_DIM,
+                                        vec_col="rvec")
+    queries = v.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec"))
+    return similarity.ivf_pq_residual_topk(queries, res, coarse, cb,
+                                           m=PQ_M, dim=PQ_DIM,
+                                           nprobe=2, k=3)
+
+
 QUERIES.update({"pq_encode": q_pq_encode, "pq_adc_topk": q_pq_adc_topk,
-                "ivf_pq_topk": q_ivf_pq_topk})
+                "ivf_pq_topk": q_ivf_pq_topk,
+                "ivf_pq_residual": q_ivf_pq_residual})
 
 _PQ_CTES = """
 e AS (SELECT vec_id,
@@ -3073,6 +3096,70 @@ s AS (SELECT l.query_id, b.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc2
       JOIN asg a ON a.vec_id = b.vec_id
       JOIN probed p ON p.list_id = a.list_id
       JOIN lut l ON l.query_id = p.query_id AND l.m = b.m
+                AND l.cent_id = b.cent_id
+      GROUP BY 1, 2)
+SELECT query_id, vec_id, adc2, CAST(rn AS INT) AS pq_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc2, vec_id) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
+ORACLES["ivf_pq_residual"] = f"""
+WITH e AS (SELECT vec_id,
+  list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(FLOOR(x * 1000000) AS BIGINT) + 1000000) AS v
+  FROM embeddings),
+co AS (SELECT CAST(vec_id // 131 AS INT) AS list_id, v AS cvec
+       FROM e WHERE vec_id % 131 = 0),
+asg AS (SELECT vec_id, list_id FROM (
+  SELECT e.vec_id, co.list_id,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      CAST(list_sum(list_transform(generate_series(1, 64),
+        i -> (e.v[i] - co.cvec[i]) * (e.v[i] - co.cvec[i])))
+        AS BIGINT), co.list_id) AS rn
+  FROM e CROSS JOIN co) WHERE rn = 1),
+res AS (
+  SELECT e.vec_id, a.list_id,
+    list_transform(generate_series(1, 64),
+                   i -> e.v[i] - co.cvec[i]) AS r
+  FROM e JOIN asg a USING (vec_id) JOIN co ON co.list_id = a.list_id),
+cbr AS (
+  SELECT mm.m AS m, CAST(vec_id // 97 AS INT) AS cent_id,
+         r[mm.m * 32 + 1 : mm.m * 32 + 32] AS cvec
+  FROM res CROSS JOIN (VALUES (0), (1)) mm(m)
+  WHERE vec_id % 97 = 0),
+d AS (
+  SELECT res.vec_id, cbr.m, cbr.cent_id,
+    CAST(list_sum(list_transform(generate_series(1, 32),
+      i -> (res.r[cbr.m * 32 + i] - cbr.cvec[i])
+         * (res.r[cbr.m * 32 + i] - cbr.cvec[i]))) AS BIGINT) AS dist2
+  FROM res CROSS JOIN cbr),
+best AS (
+  SELECT vec_id, m, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist2, cent_id) AS rn
+    FROM d) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 4),
+probed AS (SELECT query_id, list_id, qr FROM (
+  SELECT q.query_id, co.list_id,
+    list_transform(generate_series(1, 64),
+                   i -> q.qvec[i] - co.cvec[i]) AS qr,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      CAST(list_sum(list_transform(generate_series(1, 64),
+        i -> (q.qvec[i] - co.cvec[i]) * (q.qvec[i] - co.cvec[i])))
+        AS BIGINT), co.list_id) AS rn
+  FROM q CROSS JOIN co) WHERE rn <= 2),
+lut AS (
+  SELECT p.query_id, p.list_id, cbr.m, cbr.cent_id,
+    CAST(list_sum(list_transform(generate_series(1, 32),
+      i -> (p.qr[cbr.m * 32 + i] - cbr.cvec[i])
+         * (p.qr[cbr.m * 32 + i] - cbr.cvec[i]))) AS BIGINT) AS pdist
+  FROM probed p CROSS JOIN cbr),
+s AS (SELECT l.query_id, b.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc2
+      FROM best b
+      JOIN res r2 ON r2.vec_id = b.vec_id
+      JOIN lut l ON l.list_id = r2.list_id AND l.m = b.m
                 AND l.cent_id = b.cent_id
       GROUP BY 1, 2)
 SELECT query_id, vec_id, adc2, CAST(rn AS INT) AS pq_rank

@@ -465,6 +465,102 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame,
             .where(F.col("pq_rank") <= k))
 
 
+def residual_vectors(vectors: DataFrame, coarse: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "v") -> DataFrame:
+    """(id, list_id, rvec = v − coarse_centroid[list_id]) — the input
+    to RESIDUAL product quantization (what FAISS IVFPQ encodes):
+    after coarse assignment, only the residual to the list centroid is
+    quantized, so the codebooks spend their entries on the small
+    within-list displacement instead of the whole embedding space.
+    One kmeans_assign (broadcast centroids, min_by) + one broadcast
+    rejoin for the centroid vector; a single corpus-proportional
+    shuffle keyed on vec_id."""
+    assigned = kmeans_assign(vectors, coarse, id_col, vec_col)
+    withc = assigned.join(
+        F.broadcast(coarse.select("cent_id",
+                                  F.col("cvec").alias("_lv"))),
+        "cent_id")
+    return withc.select(
+        id_col, F.col("cent_id").alias("list_id"),
+        F.zip_with(F.col(vec_col), F.col("_lv"),
+                   lambda a, b: a - b).alias("rvec"))
+
+
+def pq_quantization_error(vectors: DataFrame, codebooks: DataFrame,
+                          m: int, dim: int, id_col: str = "vec_id",
+                          vec_col: str = "v") -> DataFrame:
+    """Total squared PQ quantization error: sum over (vector,
+    subspace) of the winning codebook entry's squared distance — the
+    FAISS-style diagnostic that justifies residual encoding (for
+    residual PQ the coarse centroid cancels, so the residual table's
+    error IS the reconstruction error of centroid + codeword).
+    Returns a single (err2) row."""
+    dsub = dim // m
+    cand = (vectors.join(F.broadcast(codebooks))
+            .withColumn("dist2", _dist2_int(
+                F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub),
+                F.col("cvec"))))
+    best = cand.groupBy(id_col, "m").agg(F.min("dist2").alias("d2"))
+    return best.agg(F.sum("d2").cast("bigint").alias("err2"))
+
+
+def ivf_pq_residual_topk(queries: DataFrame, residuals: DataFrame,
+                         coarse: DataFrame, codebooks: DataFrame,
+                         m: int, dim: int, nprobe: int = 2, k: int = 5,
+                         q_id: str = "query_id", q_vec: str = "qvec",
+                         id_col: str = "vec_id",
+                         res_col: str = "rvec") -> DataFrame:
+    """IVF + RESIDUAL PQ — FAISS-IVFPQ semantics: vectors are stored
+    as PQ codes of their residual to the list centroid, and a query's
+    LUT is built from ITS residual to each probed list's centroid
+    (one LUT per (query, probed list), still Q·nprobe·M·K rows —
+    tiny, broadcast). ADC then estimates ‖q − v‖² within a list as
+    ‖(q − c) − (v − c)‖², so the coarse term cancels exactly and the
+    codebooks only carry within-list displacement — finer codes at
+    identical plan shape to :func:`ivf_pq_topk`: candidates are
+    bounded to probed lists by the broadcast LUT join, and the only
+    corpus-proportional shuffles key on vec_id and the candidate
+    (query, vector) pairs."""
+    dsub = dim // m
+    codes = pq_encode(residuals, codebooks, m, dim, id_col, res_col)
+    qc = (queries.join(F.broadcast(
+            coarse.select(F.col("cent_id").alias("list_id"),
+                          F.col("cvec").alias("list_vec"))))
+          .withColumn("qd2", _dist2_int(F.col(q_vec),
+                                        F.col("list_vec"))))
+    wq = Window.partitionBy(q_id).orderBy(F.col("qd2").asc(),
+                                          F.col("list_id").asc())
+    probed = (qc.withColumn("pr", F.row_number().over(wq))
+              .where(F.col("pr") <= nprobe)
+              .select(q_id, "list_id",
+                      F.zip_with(F.col(q_vec), F.col("list_vec"),
+                                 lambda a, b: a - b).alias("qr")))
+    lut = (probed.join(F.broadcast(codebooks))
+           .select(F.col(q_id).alias("lq"),
+                   F.col("list_id").alias("ll"),
+                   F.col("m").alias("lm"), "cent_id",
+                   _dist2_int(
+                       F.slice(F.col("qr"), F.col("m") * dsub + 1,
+                               dsub),
+                       F.col("cvec")).alias("pdist")))
+    ex = (codes.join(residuals.select(id_col, "list_id"), id_col)
+          .select(id_col, "list_id",
+                  F.posexplode("codes").alias("m", "code")))
+    # the LUT carries only probed (query, list) pairs, so this join IS
+    # the candidate restriction — unprobed lists never match
+    j = ex.join(F.broadcast(lut),
+                (F.col("list_id") == F.col("ll")) &
+                (F.col("m") == F.col("lm")) &
+                (F.col("code") == F.col("cent_id")))
+    agg = j.groupBy(F.col("lq").alias(q_id), id_col).agg(
+        F.sum("pdist").cast("bigint").alias("adc2"))
+    w = Window.partitionBy(q_id).orderBy(F.col("adc2").asc(),
+                                         F.col(id_col).asc())
+    return (agg.withColumn("pq_rank", F.row_number().over(w))
+            .where(F.col("pq_rank") <= k))
+
+
 def ivf_pq_topk(queries: DataFrame, vectors: DataFrame,
                 coarse: DataFrame, codebooks: DataFrame, m: int,
                 dim: int, nprobe: int = 2, k: int = 5,
@@ -480,9 +576,9 @@ def ivf_pq_topk(queries: DataFrame, vectors: DataFrame,
     the probed (query, list) pairs and the per-query LUT both broadcast
     — the only page-proportional shuffles key on vec_id and
     (query, vec) within probed lists, i.e. the candidate set, never
-    the corpus times queries. Residual encoding (encode v - coarse
-    centroid instead of v) slots in by subtracting the centroid before
-    pq_encode — identical shape, finer codes."""
+    the corpus times queries. :func:`ivf_pq_residual_topk` is the
+    residual-encoded variant (FAISS-IVFPQ semantics) behind the same
+    shape — finer codes."""
     assigned = kmeans_assign(vectors, coarse, id_col, vec_col) \
         .select(id_col, F.col("cent_id").alias("list_id"))
     codes = pq_encode(vectors, codebooks, m, dim, id_col, vec_col)

@@ -160,3 +160,75 @@ def test_pq_train_encode_adc_recall(spark, sf_dir):
     # from 500 vectors would overlap ~1%), not absolute ANN quality,
     # which the IVF/SQ paths own.
     assert len(adc & exact) / len(exact) >= 0.15
+
+
+def test_residual_pq_beats_plain_pq_quantization_error(spark, sf_dir):
+    """FAISS-IVFPQ's justification, measured in residual PQ's
+    operating regime — CLUSTERED vectors (residual encoding is a win
+    exactly when the coarse quantizer explains variance; on isotropic
+    noise the residual v − c has HIGHER variance and loses, which the
+    raw fixture embeddings confirm). Plant 4 well-separated centroids,
+    scatter each embedding tightly around one, and require the
+    residual-codebook quantization error to be far below the
+    plain-codebook error at the same code budget. Stride-sampled
+    codebooks on both sides keep it deterministic."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                 similarity.quantize_micro(F.col("embedding")).alias("q"))
+    M, DIM = 2, 64
+    # cluster j's centroid is the constant vector (j+1)*500_000; noise
+    # is the quantized embedding shrunk 50x (range ~0..40_000)
+    cid = F.col("vec_id") % 4
+    v = q.select(
+        "vec_id",
+        F.transform(F.col("q"),
+                    lambda x: (x / 50).cast("bigint")
+                    + (cid + 1) * 500000).alias("v"))
+    coarse = (spark.range(4)
+              .select(F.col("id").cast("int").alias("cent_id"),
+                      F.array_repeat((F.col("id") + 1) * 500000, DIM)
+                      .alias("cvec")))
+    plain_cb = similarity.pq_codebooks_stride(v, m=M, dim=DIM)
+    plain_err = similarity.pq_quantization_error(
+        v, plain_cb, m=M, dim=DIM).collect()[0]["err2"]
+    res = similarity.residual_vectors(v, coarse)
+    res_cb = similarity.pq_codebooks_stride(res, m=M, dim=DIM,
+                                            vec_col="rvec")
+    res_err = similarity.pq_quantization_error(
+        res, res_cb, m=M, dim=DIM, vec_col="rvec").collect()[0]["err2"]
+    # assignment must recover the plant (separation >> noise)
+    n_lists = res.select("list_id").distinct().count()
+    assert n_lists == 4
+    assert res_err < plain_err, (res_err, plain_err)
+
+
+def test_ivf_pq_residual_ranks_within_probed_lists(spark, sf_dir):
+    """Every returned candidate must live in one of its query's nprobe
+    nearest lists, ranks must be 1..k per query, and ADC distances
+    must be non-negative and non-decreasing in rank."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                 similarity.quantize_micro(F.col("embedding")).alias("v"))
+    M, DIM = 2, 64
+    coarse = v.where(F.col("vec_id") % 131 == 0).select(
+        (F.col("vec_id") / 131).cast("int").alias("cent_id"),
+        F.col("v").alias("cvec"))
+    res = similarity.residual_vectors(v, coarse)
+    cb = similarity.pq_codebooks_stride(res, m=M, dim=DIM,
+                                        vec_col="rvec")
+    q = v.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec"))
+    out = similarity.ivf_pq_residual_topk(
+        q, res, coarse, cb, m=M, dim=DIM, nprobe=2, k=3)
+    rows = sorted(out.collect(), key=lambda r: (r["query_id"],
+                                                r["pq_rank"]))
+    assigned = {r["vec_id"]: r["list_id"] for r in res.collect()}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["adc2"] >= 0
+    for qid, rs in per_q.items():
+        assert [r["pq_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a["adc2"] <= b["adc2"] for a, b in zip(rs, rs[1:]))
+        probed_lists = {assigned[r["vec_id"]] for r in rs}
+        assert len(probed_lists) <= 2  # nprobe bound
