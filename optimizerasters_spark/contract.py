@@ -3187,6 +3187,246 @@ SELECT polygon_id, area2, area2 > 0 AS is_ccw, n_vertices FROM s
 
 
 # ---------------------------------------------------------------------------
+# Batch 19 (round 5): url canonicalization, link graph + integer
+# PageRank, token-budget shard packing, quadtree cell compaction
+# ---------------------------------------------------------------------------
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization over a mutated synth-url fixture:
+    utm/click-id params stripped, survivors sorted, case-folded
+    scheme+host, default :443 port dropped, fragment dropped, empty
+    path -> '/'. The oracle applies the identical normalization in
+    DuckDB list/regex functions."""
+    from optimizerasters_spark.operators import web
+    p = synth_pages(spark, sf_dir)
+    i = F.col("doc_id")
+    n = (i % 997).cast("string")
+    upper = F.concat(F.lit("HTTPS://SITE"), n, F.lit(".EXAMPLE:443/p/"),
+                     i.cast("string"))
+    bare = F.concat(F.lit("https://site"), n, F.lit(".example"))
+    fixture = p.withColumn(
+        "url",
+        F.when(i % 20 == 19, bare)
+         .when(i % 4 == 0, F.concat(F.col("url"),
+                                    F.lit("?utm_source=news&b=2&a=1#x")))
+         .when(i % 4 == 1, upper)
+         .when(i % 4 == 2, F.concat(F.col("url"),
+                                    F.lit("?z=1&gclid=abc&y=2")))
+         .otherwise(F.col("url")))
+    return web.url_canonicalize(fixture)
+
+
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose html embeds two anchors: an absolute link to the
+    doc's 10-group leader and (when a same-host predecessor exists,
+    i >= 997) a HOST-RELATIVE link to doc i-997 — exercising both href
+    resolution paths with every resolved URL landing on a real page."""
+    p = synth_pages(spark, sf_dir)
+    i = F.col("doc_id")
+    leader = (F.floor(i / 10) * 10).cast("bigint")
+    leader_url = F.concat(F.lit("https://site"),
+                          (leader % 997).cast("string"),
+                          F.lit(".example/p/"), leader.cast("string"))
+    rel = F.when(i >= 997,
+                 F.concat(F.lit('<a href="/p/'),
+                          (i - 997).cast("string"),
+                          F.lit('">prev</a>'))).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><a href="'), leader_url,
+        F.lit('">leader</a>'), rel,
+        F.lit('<a href="mailto:x@y.z">m</a><p>'), F.col("text"),
+        F.lit("</p></body></html>"))
+    return p.withColumn("html", F.encode(html, "UTF-8"))
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction -> in-corpus edge resolution -> degree
+    census: every doc links to its group leader (absolute href) and
+    its same-host predecessor (relative href); mailto: anchors and
+    self-loops drop."""
+    from optimizerasters_spark.operators import graph
+    edges = graph.link_edges(_linked_pages(spark, sf_dir))
+    return graph.degree_census(edges)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer PageRank (3 iterations, damping 850/1000,
+    micro-unit ranks, floored divisions) over the extracted link
+    graph — group leaders accumulate authority; the oracle re-derives
+    the same edge set from the fixture rule and unrolls the identical
+    3 iterations in SQL."""
+    from optimizerasters_spark.operators import graph
+    edges = graph.link_edges(_linked_pages(spark, sf_dir))
+    return graph.pagerank(edges, iters=3)
+
+
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: per-language deterministic layout,
+    4096-token shards — the same docs land in the same shards on any
+    engine or cluster size."""
+    from optimizerasters_spark.operators import text as T
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.pack_shards(d, budget_tokens=4096)
+
+
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadtree compaction of an occupied-cell set with planted holes
+    (every 17th doc's cell missing): complete 2x2 quadruples promote
+    to their parent recursively over 3 levels, leaving the minimal
+    multi-level cover."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    cells = d.where(i % 17 != 0).select(
+        (i % 64).cast("bigint").alias("tile_x"),
+        (F.expr("doc_id div 64") % 64).cast("bigint").alias("tile_y"))
+    return spatial.compact_cells(cells, max_level=3)
+
+
+QUERIES.update({
+    "url_canonicalize": q_url_canonicalize,
+    "link_graph": q_link_graph,
+    "pagerank": q_pagerank,
+    "shard_pack": q_shard_pack,
+    "cell_compact": q_cell_compact,
+})
+
+ORACLES["url_canonicalize"] = f"""
+{_W},
+fx AS (SELECT doc_id,
+  CASE
+    WHEN doc_id % 20 = 19 THEN
+      'https://site' || CAST(doc_id % 997 AS VARCHAR) || '.example'
+    WHEN doc_id % 4 = 0 THEN url || '?utm_source=news&b=2&a=1#x'
+    WHEN doc_id % 4 = 1 THEN
+      'HTTPS://SITE' || CAST(doc_id % 997 AS VARCHAR)
+      || '.EXAMPLE:443/p/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 4 = 2 THEN url || '?z=1&gclid=abc&y=2'
+    ELSE url END AS url
+  FROM pages),
+parts AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+    AS scheme,
+  lower(regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1)) AS auth,
+  regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^?#]*)', 1) AS path0,
+  regexp_extract(url, '\\?([^#]*)', 1) AS qs
+  FROM fx),
+canon AS (SELECT doc_id, url,
+  scheme || '://'
+  || (CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+           ELSE auth END)
+  || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+  || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canon_url
+  FROM (SELECT *,
+    -- array_to_string(NULL on empty list!) needs the coalesce;
+    -- Spark's array_join returns '' there
+    COALESCE(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+      p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
+           AND NOT list_contains(['fbclid', 'gclid', 'msclkid', 'ref'],
+                                 lower(string_split(p, '=')[1])))),
+      '&'), '') AS kept
+    FROM parts))
+SELECT doc_id, url, canon_url, canon_url <> url AS changed FROM canon
+"""
+
+# the fixture's intended edge set, re-derived from the rule (NOT from
+# html parsing) — pins extraction+resolution semantics independently
+_EDGES_CTE = """
+e AS (SELECT DISTINCT src, dst FROM (
+  SELECT doc_id AS src, (doc_id // 10) * 10 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id - 997 FROM documents WHERE doc_id >= 997)
+  WHERE dst <> src)
+"""
+
+ORACLES["link_graph"] = f"""
+WITH {_EDGES_CTE.strip()},
+n AS (SELECT DISTINCT x AS node FROM (
+  SELECT src AS x FROM e UNION ALL SELECT dst FROM e)),
+od AS (SELECT src, COUNT(*) AS c FROM e GROUP BY 1),
+idg AS (SELECT dst, COUNT(*) AS c FROM e GROUP BY 1)
+SELECT n.node, CAST(COALESCE(od.c, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(idg.c, 0) AS BIGINT) AS in_deg
+FROM n LEFT JOIN od ON od.src = n.node
+       LEFT JOIN idg ON idg.dst = n.node
+"""
+
+ORACLES["pagerank"] = f"""
+WITH {_EDGES_CTE.strip()},
+n AS (SELECT DISTINCT x AS node FROM (
+  SELECT src AS x FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+c1 AS (SELECT e.dst, SUM(r0.r // deg.d) AS s
+       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+       GROUP BY 1),
+r1 AS (SELECT n.node,
+         CAST(150000 + (850 * COALESCE(c1.s, 0)) // 1000 AS BIGINT) AS r
+       FROM n LEFT JOIN c1 ON c1.dst = n.node),
+c2 AS (SELECT e.dst, SUM(r1.r // deg.d) AS s
+       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+       GROUP BY 1),
+r2 AS (SELECT n.node,
+         CAST(150000 + (850 * COALESCE(c2.s, 0)) // 1000 AS BIGINT) AS r
+       FROM n LEFT JOIN c2 ON c2.dst = n.node),
+c3 AS (SELECT e.dst, SUM(r2.r // deg.d) AS s
+       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src
+       GROUP BY 1),
+r3 AS (SELECT n.node,
+         CAST(150000 + (850 * COALESCE(c3.s, 0)) // 1000 AS BIGINT) AS r
+       FROM n LEFT JOIN c3 ON c3.dst = n.node)
+SELECT node, r AS rank_micro FROM r3
+"""
+
+ORACLES["shard_pack"] = """
+WITH t AS (SELECT doc_id, lang,
+  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY lang ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS cum_before
+  FROM t)
+SELECT lang, doc_id, n_tokens, cum_before,
+       CAST(cum_before // 4096 AS INT) AS shard_id
+FROM c
+"""
+
+ORACLES["cell_compact"] = """
+WITH c0 AS (SELECT DISTINCT doc_id % 64 AS x, (doc_id // 64) % 64 AS y
+            FROM documents WHERE doc_id % 17 <> 0),
+f1 AS (SELECT x // 2 AS px, y // 2 AS py FROM c0
+       GROUP BY 1, 2 HAVING COUNT(*) = 4),
+k0 AS (SELECT 0 AS level, x, y FROM c0
+       WHERE NOT EXISTS (SELECT 1 FROM f1
+                         WHERE f1.px = c0.x // 2 AND f1.py = c0.y // 2)),
+c1 AS (SELECT px AS x, py AS y FROM f1),
+f2 AS (SELECT x // 2 AS px, y // 2 AS py FROM c1
+       GROUP BY 1, 2 HAVING COUNT(*) = 4),
+k1 AS (SELECT 1 AS level, x, y FROM c1
+       WHERE NOT EXISTS (SELECT 1 FROM f2
+                         WHERE f2.px = c1.x // 2 AND f2.py = c1.y // 2)),
+c2 AS (SELECT px AS x, py AS y FROM f2),
+f3 AS (SELECT x // 2 AS px, y // 2 AS py FROM c2
+       GROUP BY 1, 2 HAVING COUNT(*) = 4),
+k2 AS (SELECT 2 AS level, x, y FROM c2
+       WHERE NOT EXISTS (SELECT 1 FROM f3
+                         WHERE f3.px = c2.x // 2 AND f3.py = c2.y // 2)),
+c3 AS (SELECT px AS x, py AS y FROM f3),
+u AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+      UNION ALL SELECT * FROM k2
+      UNION ALL SELECT 3 AS level, x, y FROM c3)
+SELECT CAST(level AS INT) AS level, CAST(x AS BIGINT) AS tile_x,
+       CAST(y AS BIGINT) AS tile_y
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gate-window ordering (keep this block LAST in the module)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate evaluates the first 50 registered queries

@@ -82,6 +82,46 @@ def levels_from_l0(l0: DataFrame, levels: list[int]) -> DataFrame:
             .agg(F.sum("page_count").alias("page_count")))
 
 
+def compact_cells(cells: DataFrame, max_level: int = 3,
+                  x_col: str = "tile_x", y_col: str = "tile_y"
+                  ) -> DataFrame:
+    """Quadtree compaction — H3/S2 ``compact`` semantics on the tile
+    grid: every COMPLETE 2x2 sibling quadruple is replaced by its
+    parent, recursively up to ``max_level``, yielding the minimal
+    multi-level cover of an occupied cell set (coverage manifests,
+    tile-job planning, polygon covers). Returns (level, tile_x,
+    tile_y) with level 0 = input resolution; coords at level L are the
+    level-0 coords shifted right L bits (non-negative world grid).
+
+    Scale shape: page→cell assignment stayed in the scan stage
+    upstream; every round here shuffles only the CELL table (tiny vs
+    pages) keyed on the parent cell, and the table shrinks
+    monotonically — max_level rounds of vanishing aggregations."""
+    cur = (cells.select(F.col(x_col).alias("tile_x"),
+                        F.col(y_col).alias("tile_y"))
+           .distinct())
+    out = None
+    for lvl in range(max_level):
+        full = (cur.groupBy(F.expr("shiftright(tile_x, 1)").alias("px"),
+                            F.expr("shiftright(tile_y, 1)").alias("py"))
+                .agg(F.count(F.lit(1)).alias("nchild"))
+                .where(F.col("nchild") == 4)
+                .select("px", "py"))
+        kept = cur.join(
+            full,
+            (F.expr("shiftright(tile_x, 1)") == full["px"]) &
+            (F.expr("shiftright(tile_y, 1)") == full["py"]),
+            "left_anti")
+        part = kept.select(F.lit(lvl).cast("int").alias("level"),
+                           "tile_x", "tile_y")
+        out = part if out is None else out.unionByName(part)
+        cur = full.select(F.col("px").alias("tile_x"),
+                          F.col("py").alias("tile_y"))
+    top = cur.select(F.lit(max_level).cast("int").alias("level"),
+                     "tile_x", "tile_y")
+    return out.unionByName(top) if out is not None else top
+
+
 def pyramid_reduce_iterative(l0: DataFrame, max_level: int,
                              value_col: str = "val") -> DataFrame:
     """gdaladdo-faithful ITERATIVE pyramid: each level L+1 tile derives

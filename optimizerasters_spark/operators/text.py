@@ -9,6 +9,7 @@ oracle-comparable across engines.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
 
@@ -151,6 +152,34 @@ def rolling_fingerprint(docs: DataFrame,
         "doc_id",
         h.alias("roll_hash"),
         F.size(toks).cast("bigint").alias("n_tokens"))
+
+
+def pack_shards(docs: DataFrame, budget_tokens: int,
+                strat_col: str = "lang", order_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Token-budget shard packing — the step between a filtered corpus
+    and training: lay documents out in deterministic (stratum,
+    order_col) order and open shard floor(cum_tokens_before / budget)
+    for each, so every shard holds ~budget tokens and the SAME
+    documents land in the SAME shards on any engine, cluster size, or
+    partitioning (unlike coalesce/repartition-based packing, which is
+    placement-nondeterministic). A doc larger than the budget gets its
+    own shard(s) — the budget is a target, not a splitter.
+
+    Plan: one window cumsum per stratum. Languages are few but huge,
+    so at 100 TB the stratum key becomes (lang, date_bucket) — each
+    bucket sorts independently, same packing contract per bucket."""
+    toks = F.size(tokens_col(text_col)).cast("bigint")
+    w = (Window.partitionBy(strat_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = docs.select(strat_col, order_col, toks.alias("n_tokens"))
+    return (base
+            .withColumn("cum_before",
+                        F.coalesce(F.sum("n_tokens").over(w),
+                                   F.lit(0)).cast("bigint"))
+            .withColumn("shard_id",
+                        F.expr(f"cum_before div {int(budget_tokens)}")
+                        .cast("int")))
 
 
 def repetition_quality(docs: DataFrame, text_col: str = "text",

@@ -204,6 +204,56 @@ def stratified_hash_sample(df: DataFrame, rates_milli: dict[str, int],
     return df.where(bucket < rate)
 
 
+# click-id / referral params every canonicalizer strips (plus any
+# key with the utm_ prefix)
+TRACKING_PARAMS = ["fbclid", "gclid", "msclkid", "ref"]
+
+
+def url_canonicalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical URL for crawl-level dedup — the normalization pass
+    that makes byte-different URLs of the same resource collide
+    BEFORE content hashing (every crawler's first dedup lever):
+
+      * scheme and host lowercased,
+      * default ports stripped (http :80, https :443),
+      * fragment dropped,
+      * tracking params removed (``utm_*`` prefix + known click ids),
+      * surviving query params sorted bytewise,
+      * empty path becomes ``/``.
+
+    Pure regexp + array functions (codegen, zero shuffle — folds into
+    the scan). Emits canon_url and a changed flag; downstream exact
+    dedup groups on canon_url instead of url."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(
+        u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.lower(F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1))
+    host = (F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(auth, ":443$", ""))
+            .otherwise(auth))
+    path0 = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    tracking = F.array(*[F.lit(t) for t in TRACKING_PARAMS])
+    kept = F.array_sort(F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") &
+        ~F.lower(p).startswith("utm_") &
+        ~F.array_contains(tracking,
+                          F.lower(F.get(F.split(p, "="), 0)))))
+    q_str = F.array_join(kept, "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q_str == "", F.lit(""))
+         .otherwise(F.concat(F.lit("?"), q_str)))
+    return pages.select(
+        "doc_id", u.alias("url"), canon.alias("canon_url"),
+        (canon != u).alias("changed"))
+
+
 def robots_wildcard_rules(robots: DataFrame, host_col: str = "host",
                           robots_col: str = "robots_txt") -> DataFrame:
     """Parse robots.txt bodies into

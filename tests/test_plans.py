@@ -313,3 +313,36 @@ def test_pip_ring_never_shuffles_pages(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_url_canonicalize_is_pure_codegen(spark, sf_dir):
+    """URL canonicalization is regexp + array functions only — zero
+    shuffles, zero Python; it folds into the scan stage."""
+    from optimizerasters_spark.operators import web
+    p = synth_pages(spark, sf_dir)
+    plan = _plan(web.url_canonicalize(p))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_link_extraction_no_python_and_url_equijoin(spark, sf_dir):
+    """Anchor extraction is regexp codegen over the decoded payload;
+    resolving dst_url -> doc_id is a plain shuffled equi-join on the
+    uniform url key (SortMergeJoin or shuffled hash — never a
+    nested-loop, never Python)."""
+    from optimizerasters_spark.operators import graph
+    p = synth_pages(spark, sf_dir)
+    plan = _plan(graph.link_edges(p))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pack_shards_single_window_exchange(spark, sf_dir):
+    """Shard packing is one cumulative window per stratum: exactly one
+    hash exchange (on the stratum key), no Python."""
+    from optimizerasters_spark.operators import text as T
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(T.pack_shards(d, budget_tokens=4096))
+    assert plan.count(") Exchange") == 1, plan
+    assert "hashpartitioning(lang" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

@@ -264,3 +264,47 @@ def test_dup_components_raises_instead_of_silent_nonconvergence(spark):
     got = {r["doc_id"]: r["comp"]
            for r in dedup.dup_components(chain, max_iters=15).collect()}
     assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_compact_cells_minimal_cover_explicit(spark):
+    """A full 4x4 block (16 level-0 cells) compacts to ONE level-2
+    cell; a full 2x2 block to one level-1 cell; a lone cell stays at
+    level 0 — and the union is the exact minimal cover."""
+    from optimizerasters_spark.operators import spatial
+    cells = ([(x, y) for x in range(4) for y in range(4)] +       # 4x4
+             [(8, 8), (9, 8), (8, 9), (9, 9)] +                   # 2x2
+             [(20, 20)])                                          # lone
+    df = spark.createDataFrame(cells, "tile_x bigint, tile_y bigint")
+    got = {(r["level"], r["tile_x"], r["tile_y"])
+           for r in spatial.compact_cells(df, max_level=3).collect()}
+    assert got == {(2, 0, 0), (1, 4, 4), (0, 20, 20)}
+
+
+def test_pagerank_hand_computed_star(spark):
+    """a->b for 3 integer iterations: r_a stays at the base 150000
+    (no in-links), r_b converges to 150000 + (850*150000)//1000."""
+    from optimizerasters_spark.operators import graph
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    got = {r["node"]: r["rank_micro"]
+           for r in graph.pagerank(e, iters=3).collect()}
+    assert got == {1: 150000, 2: 277500}
+
+
+def test_extract_links_resolution_paths(spark):
+    """Absolute http(s) hrefs pass through, host-relative hrefs
+    resolve against the page's scheme://host, and mailto/javascript/
+    fragment anchors drop."""
+    from optimizerasters_spark.operators import graph
+    html = ('<a href="https://other.example/x">a</a>'
+            '<a href="/rel/path?q=1">b</a>'
+            '<a href="mailto:x@y.z">c</a>'
+            '<a href="javascript:void(0)">d</a>'
+            '<a href="#frag">e</a>').encode()
+    p = spark.createDataFrame(
+        [(7, "https://me.example/page", bytearray(html))],
+        "doc_id bigint, url string, html binary")
+    got = {(r["href"], r["dst_url"])
+           for r in graph.extract_links(p).collect()}
+    assert got == {
+        ("https://other.example/x", "https://other.example/x"),
+        ("/rel/path?q=1", "https://me.example/rel/path?q=1")}
