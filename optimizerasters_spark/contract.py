@@ -3435,27 +3435,43 @@ FROM u
 # that hard-signal window; long-stable veterans rotate behind position 50
 # — they keep their oracles and stay verified by tests/test_oracle_parity.
 GATE_PRIORITY = [
-    # round-4 NEW or CHANGED queries — must take a fresh r04 gate row
-    "pip_join_ring",        # NEW: arbitrary-ring even-odd PIP
-    "pii_scrub",            # NEW: email/phone redaction
-    "repetition_quality",   # NEW: Gopher-style repetition signals
-    "decontaminate",        # NEW: benchmark n-gram decontamination
-    "paragraph_dedup",      # NEW: sub-document exact dedup
-    "ring_stats",           # NEW: shoelace area / winding normalizer
-    "pq_encode",            # NEW: product-quantization encode
-    "pq_adc_topk",          # NEW: ADC compressed search
-    "ivf_pq_topk",          # NEW: IVF+PQ composed search
-    "dup_components",       # NEW: transitive dup families (CC)
-    "blocklist_filter",     # NEW: domain blocklist suffix filter
-    "remove_boilerplate",   # NEW: corpus-wide boilerplate removal
-    "stratified_sample",    # NEW: per-language deterministic sampling
-    "robots_filter",        # NEW: robots.txt wildcard-agent politeness
-    "geoparse",             # CHANGED: 3-format pattern matrix + fixture
-    "media_resize",         # CHANGED: resize_ok dead-letter column
-    "encoder_matrix",       # encoder.py changed (argv parity)
-    "til_finalize",         # engine til_finalize stage rewritten
-    # the 28 queries whose last gate row is r02 (VERDICT r03 'Next
-    # round' #5: rotate veterans so no row goes >1 round stale)
+    # round-5 NEW or CHANGED queries — must take a fresh r05 gate row
+    "pq_encode",            # CHANGED: gate-safe exploded (vec_id,m,code)
+    "paragraph_dedup",      # CHANGED: NULL kept_sha + struct first-key
+    "robots_filter",        # CHANGED: RFC 9309 Allow precedence
+    "repetition_quality",   # CHANGED: exploded twin above line bound
+    "dup_components",       # CHANGED: raises on non-convergence
+    "ivf_pq_residual",      # NEW: residual IVF+PQ (FAISS semantics)
+    "url_canonicalize",     # NEW: crawl URL canonicalization
+    "link_graph",           # NEW: anchor extraction + degree census
+    "pagerank",             # NEW: deterministic integer PageRank
+    "shard_pack",           # NEW: token-budget shard packing
+    "cell_compact",         # NEW: quadtree minimal-cover compaction
+    # the queries whose last gate row is r03 (rotate so no row goes
+    # >1 round stale); 39 of the 42 fit — url_encode / output_ext /
+    # dir_depth (trivial, golden/property-tested filters, code
+    # untouched since r03) disclosed as riding their r03 rows one
+    # more round
+    "kmeans_assign", "sq_encode", "pip_join", "pip_join_left",
+    "chunk_documents", "pip_join_convex", "knn_per_cell",
+    "dedup_latest", "html_extract", "asof_join", "url_parts",
+    "domain_cap", "hash_sample", "ledger_resolve", "ivf_topk",
+    "proxy_paths", "rolling_fingerprint", "cell_histogram",
+    "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",
+    "salted_topk", "pyramid_resample", "proxy_csv", "tile_manifest",
+    "free_space_scan", "tile_counts_pyramid", "simhash_ann",
+    "embedding_near_dup", "cosine_topk", "knn_kring", "knn_kring_df",
+    "salted_join", "salted_cell_payloads", "til_barrier", "til_members",
+    "stem_groups", "assoc_join", "resume_pending",
+    # ------------------- gate-window boundary (50) -----------------------
+    # everything below holds a green r04 row (CORRECTNESS_r04.json)
+    # with implementing code unchanged since, or is one of the three
+    # disclosed r03 riders above
+    "url_encode", "output_ext", "dir_depth",
+    "pip_join_ring", "pii_scrub", "decontaminate", "ring_stats",
+    "pq_adc_topk", "ivf_pq_topk", "blocklist_filter",
+    "remove_boilerplate", "stratified_sample", "geoparse",
+    "media_resize", "encoder_matrix", "til_finalize",
     "pages_synth", "tile_assign", "path_classify", "hashkey_path",
     "sniff_dispatch", "job_success", "timing_pivot", "pyramid_factors",
     "path_functions", "dedup_exact", "token_count", "quality_score",
@@ -3464,25 +3480,8 @@ GATE_PRIORITY = [
     "events_json", "sessionize", "lang_source_rollup", "set_ops",
     "tile_bin_counts", "rasterize_tiles", "vectorize_tiles",
     "distinct_users", "top_tokens", "value_percentiles",
-    # fill the window with the most complex / highest-value plans so
-    # their rows stay fresh too (remaining queries ride their green r03
-    # rows with implementations unchanged since that gate ran)
     "training_flagship", "minhash_lsh_pairs", "ngram_jaccard",
     "ivf_train",
-    # ------------------- gate-window boundary (50) -----------------------
-    "kmeans_assign", "sq_encode", "pip_join", "pip_join_left",
-    "chunk_documents", "pip_join_convex",
-    "knn_per_cell", "dedup_latest",
-    "html_extract", "asof_join", "url_parts", "domain_cap",
-    "hash_sample",
-    "ledger_resolve", "ivf_topk", "url_encode", "output_ext",
-    "dir_depth", "proxy_paths", "rolling_fingerprint", "cell_histogram",
-    "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",
-    "salted_topk", "pyramid_resample", "proxy_csv", "tile_manifest",
-    "free_space_scan", "tile_counts_pyramid", "simhash_ann",
-    "embedding_near_dup", "cosine_topk", "knn_kring", "knn_kring_df",
-    "salted_join", "salted_cell_payloads", "til_barrier", "til_members",
-    "stem_groups", "assoc_join", "resume_pending",
 ]
 
 QUERIES = {**{n: QUERIES[n] for n in GATE_PRIORITY if n in QUERIES},
