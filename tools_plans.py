@@ -36,6 +36,27 @@ def _paragraph_dedup_plan(spark, sf, plan):
     return plan(q_paragraph_dedup(spark, sf))
 
 
+def _url_canon_plan(spark, sf, plan):
+    from optimizerasters_spark.operators import web
+    return plan(web.url_canonicalize(synth_pages(spark, sf)))
+
+
+def _link_edges_plan(spark, sf, plan):
+    from optimizerasters_spark.operators import graph
+    return plan(graph.link_edges(synth_pages(spark, sf)))
+
+
+def _pack_shards_plan(spark, sf, plan):
+    from optimizerasters_spark.operators import text as T
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return plan(T.pack_shards(d, budget_tokens=4096))
+
+
+def _cell_compact_plan(spark, sf, plan):
+    from optimizerasters_spark.contract import q_cell_compact
+    return plan(q_cell_compact(spark, sf))
+
+
 def main():
     spark = get_spark('plans', master='local[4]', shuffle_partitions='8')
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,6 +98,19 @@ def main():
         ("Paragraph dedup (posexplode -> partial_min per paragraph sha "
          "-> per-doc reassembly; shuffles only on sha and doc_id)",
          _paragraph_dedup_plan(spark, sf, plan)),
+        ("URL canonicalization (pure regexp/array projection — zero "
+         "Exchange, folds into the scan)",
+         _url_canon_plan(spark, sf, plan)),
+        ("Link edges (regexp href extraction + url equi-join back to "
+         "doc ids — no Python, no nested loop)",
+         _link_edges_plan(spark, sf, plan)),
+        ("Shard packing (ONE per-stratum window Exchange, cumulative "
+         "sum, integer shard id)",
+         _pack_shards_plan(spark, sf, plan)),
+        ("Quadtree cell compaction (distinct cells -> per-level "
+         "complete-quadruple promotion; only the shrinking cell table "
+         "shuffles)",
+         _cell_compact_plan(spark, sf, plan)),
     ]
     out = ['# PLANS — captured physical plans (`.explain("formatted")`)', "",
            "Generated against sf0.001; regenerate with `python tools_plans.py`.",
