@@ -108,7 +108,10 @@ def main() -> None:
         "rasterize_tiles", "pip_join_convex", "pip_join_ring",
         "pyramid_resample", "kmeans_assign", "chunk_documents",
         "sq_encode", "pii_scrub", "paragraph_dedup", "decontaminate",
-        "pq_adc_topk", "remove_boilerplate", "dup_components"]
+        "pq_adc_topk", "remove_boilerplate", "dup_components",
+        # round-5 additions
+        "ivf_pq_residual", "url_canonicalize", "link_graph", "pagerank",
+        "shard_pack", "cell_compact", "substr_overlap"]
     for qname in qnames:
         q = contract.QUERIES[qname]
         bench(qname, lambda q=q: q(spark, SF_DIR)

@@ -3214,7 +3214,8 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(i % 4 == 2, F.concat(F.col("url"),
                                     F.lit("?z=1&gclid=abc&y=2")))
          .otherwise(F.col("url")))
-    return web.url_canonicalize(fixture)
+    return web.url_canonicalize(fixture).select(
+        "doc_id", "url", "canon_url", "changed")
 
 
 def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3283,13 +3284,64 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.compact_cells(cells, max_level=3)
 
 
+# 40 distinct tokens of planted boilerplate for the ExactSubstr fixture
+_B40 = " ".join(f"boiler{k}" for k in range(40))
+
+
+def q_substr_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-substring census: every sixth doc
+    carries the same 40-token boilerplate passage mid-corpus; its 9
+    fully-interior 32-token windows hash-collide across docs, so each
+    planted doc reports (at least) 40 covered token positions — the
+    verbatim-passage-reuse signal document/paragraph hashing misses."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    fixture = d.withColumn(
+        "text",
+        F.when(i % 6 == 0, F.concat(F.col("text"), F.lit(" " + _B40)))
+         .otherwise(F.col("text")))
+    return dedup.exact_substr_overlap(fixture, width=32)
+
+
 QUERIES.update({
     "url_canonicalize": q_url_canonicalize,
     "link_graph": q_link_graph,
     "pagerank": q_pagerank,
     "shard_pack": q_shard_pack,
     "cell_compact": q_cell_compact,
+    "substr_overlap": q_substr_overlap,
 })
+
+ORACLES["substr_overlap"] = f"""
+WITH f AS (SELECT doc_id,
+  CASE WHEN doc_id % 6 = 0 THEN text || ' {_B40}' ELSE text END AS text
+  FROM documents),
+tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM f),
+w AS (SELECT doc_id, unnest(list_transform(
+        generate_series(0, len(t) - 32),
+        i -> {{'pos': i, 'wh': md5(array_to_string(t[i+1:i+32], ' '))}}))
+        AS ww
+      FROM tk WHERE len(t) >= 32),
+e AS (SELECT doc_id, ww.pos AS pos, ww.wh AS wh FROM w),
+sh AS (SELECT wh FROM e GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+s AS (SELECT e.doc_id, e.pos FROM e JOIN sh USING (wh)),
+pd AS (SELECT doc_id, list_sort(list(pos)) AS ps FROM s GROUP BY 1),
+st AS (SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_shared_windows,
+         CAST(COALESCE(list_sum(list_transform(
+           generate_series(1, len(ps) - 1),
+           i -> LEAST(32, ps[i+1] - ps[i]))), 0) + 32 AS BIGINT)
+           AS n_dup_tokens
+       FROM pd),
+b AS (SELECT doc_id,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM f)
+SELECT b.doc_id, b.n_tokens,
+  CAST(COALESCE(st.n_shared_windows, 0) AS BIGINT) AS n_shared_windows,
+  CAST(COALESCE(st.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+  COALESCE(st.n_dup_tokens, 0) * 1000000 // GREATEST(b.n_tokens, 1)
+    AS dup_ratio_micro
+FROM b LEFT JOIN st USING (doc_id)
+"""
 
 ORACLES["url_canonicalize"] = f"""
 {_W},
@@ -3447,14 +3499,15 @@ GATE_PRIORITY = [
     "pagerank",             # NEW: deterministic integer PageRank
     "shard_pack",           # NEW: token-budget shard packing
     "cell_compact",         # NEW: quadtree minimal-cover compaction
+    "substr_overlap",       # NEW: ExactSubstr duplicated-passage census
     # the queries whose last gate row is r03 (rotate so no row goes
-    # >1 round stale); 39 of the 42 fit — url_encode / output_ext /
-    # dir_depth (trivial, golden/property-tested filters, code
+    # >1 round stale); 38 of the 42 fit — url_encode / output_ext /
+    # dir_depth / url_parts (trivial, golden/property-tested, code
     # untouched since r03) disclosed as riding their r03 rows one
     # more round
     "kmeans_assign", "sq_encode", "pip_join", "pip_join_left",
     "chunk_documents", "pip_join_convex", "knn_per_cell",
-    "dedup_latest", "html_extract", "asof_join", "url_parts",
+    "dedup_latest", "html_extract", "asof_join",
     "domain_cap", "hash_sample", "ledger_resolve", "ivf_topk",
     "proxy_paths", "rolling_fingerprint", "cell_histogram",
     "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",
@@ -3465,9 +3518,9 @@ GATE_PRIORITY = [
     "stem_groups", "assoc_join", "resume_pending",
     # ------------------- gate-window boundary (50) -----------------------
     # everything below holds a green r04 row (CORRECTNESS_r04.json)
-    # with implementing code unchanged since, or is one of the three
+    # with implementing code unchanged since, or is one of the four
     # disclosed r03 riders above
-    "url_encode", "output_ext", "dir_depth",
+    "url_encode", "output_ext", "dir_depth", "url_parts",
     "pip_join_ring", "pii_scrub", "decontaminate", "ring_stats",
     "pq_adc_topk", "ivf_pq_topk", "blocklist_filter",
     "remove_boilerplate", "stratified_sample", "geoparse",

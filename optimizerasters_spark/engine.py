@@ -81,6 +81,12 @@ class JobConf:
     # SCRUBBED corpus — the form a compliance review wants (the raw
     # text never lands in any output or checkpoint of this job)
     scrub_pii: bool = False
+    # ... and/or URL canonicalization at ingest (web.url_canonicalize):
+    # tracking params stripped, host case-folded, default ports and
+    # fragments dropped, query params sorted — BEFORE dedup_latest, so
+    # byte-different URLs of the same resource collapse to one ledger
+    # row (the crawl-level dedup lever ahead of content hashing)
+    canonicalize_urls: bool = False
 
 
 class Engine:
@@ -199,6 +205,11 @@ class Engine:
         self._vacuum_l0()       # same for superseded level-0 versions
         if pages is None:
             pages = synth_pages(spark, conf.sf_dir)
+        if conf.canonicalize_urls:
+            from optimizerasters_spark.operators import web
+            pages = (web.url_canonicalize(pages)
+                     .withColumn("url", F.col("canon_url"))
+                     .drop("canon_url", "changed"))
         pages = dedup.dedup_latest(pages)
         if conf.sample_milli is not None:
             from optimizerasters_spark.operators import web

@@ -256,6 +256,69 @@ def paragraph_dedup(docs: DataFrame, sep: str = "\n",
         F.when(F.col("n_kept") > 0, F.col("_sha")).alias("kept_sha"))
 
 
+def exact_substr_overlap(docs: DataFrame, width: int = 32,
+                         text_col: str = "text") -> DataFrame:
+    """ExactSubstr-style duplicated-substring census — the semantics of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") bounded to fixed token windows: for every document, how
+    many of its token positions are covered by some ``width``-token
+    window whose exact text ALSO appears in another document. This
+    catches verbatim passage reuse that document- and paragraph-level
+    hashing both miss (quotes, syndicated fragments, licence blocks
+    embedded mid-page). Returns per doc: n_tokens, n_shared_windows,
+    n_dup_tokens (covered positions), dup_ratio_micro.
+
+    Scale shape: windows explode (≤ n_tokens rows/doc), the census
+    shuffles ONCE on the 128-bit window hash (uniform — no skew), the
+    interval-union cover is per-doc array math. Never all-pairs, never
+    a UDF; the removal pass (cutting covered ranges) reuses the same
+    (doc_id, pos) set."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_toks = F.size(toks)
+    wins = F.when(
+        n_toks >= width,
+        F.transform(
+            F.sequence(F.lit(0), n_toks - width),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, width)))
+                 .alias("wh"))))
+    ex = (docs.select("doc_id", F.explode(wins).alias("w"))
+          .select("doc_id", F.col("w.pos").alias("pos"),
+                  F.col("w.wh").alias("wh")))
+    shared_hashes = (ex.groupBy("wh")
+                     .agg(F.count_distinct("doc_id").alias("nd"))
+                     .where(F.col("nd") >= 2).select("wh"))
+    shared = ex.join(shared_hashes, "wh", "left_semi")
+    # union of [pos, pos+width) intervals over the sorted position list:
+    # each position covers min(width, gap to the next) new tokens, the
+    # last a full width
+    per_doc = shared.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("ps"))
+    sz = F.size(F.col("ps"))
+    heads = F.slice(F.col("ps"), 1, sz - 1)
+    tails = F.slice(F.col("ps"), 2, sz - 1)
+    cover = F.aggregate(
+        F.zip_with(heads, tails,
+                   lambda a, b: F.least(F.lit(width), b - a)),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v) + width
+    stats = per_doc.select(
+        "doc_id", sz.cast("bigint").alias("n_shared_windows"),
+        cover.cast("bigint").alias("n_dup_tokens"))
+    base = docs.select("doc_id", n_toks.cast("bigint").alias("n_tokens"))
+    return (base.join(stats, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                F.coalesce(F.col("n_shared_windows"), F.lit(0))
+                 .cast("bigint").alias("n_shared_windows"),
+                F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+                 .cast("bigint").alias("n_dup_tokens"),
+                F.floor(F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+                        * 1000000 /
+                        F.greatest(F.col("n_tokens"), F.lit(1)))
+                 .cast("bigint").alias("dup_ratio_micro")))
+
+
 def dup_components(pairs: DataFrame, max_iters: int = 20,
                    a_col: str = "doc_a", b_col: str = "doc_b"
                    ) -> DataFrame:

@@ -249,9 +249,8 @@ def url_canonicalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
         scheme, F.lit("://"), host, path,
         F.when(q_str == "", F.lit(""))
          .otherwise(F.concat(F.lit("?"), q_str)))
-    return pages.select(
-        "doc_id", u.alias("url"), canon.alias("canon_url"),
-        (canon != u).alias("changed"))
+    return (pages.withColumn("canon_url", canon)
+            .withColumn("changed", canon != u))
 
 
 def robots_wildcard_rules(robots: DataFrame, host_col: str = "host",

@@ -14,7 +14,7 @@ R05_NEW_OR_CHANGED = [
     "pq_encode", "paragraph_dedup", "robots_filter",
     "repetition_quality", "dup_components",
     "ivf_pq_residual", "url_canonicalize", "link_graph", "pagerank",
-    "shard_pack", "cell_compact",
+    "shard_pack", "cell_compact", "substr_overlap",
 ]
 
 # queries whose last gate row is r03 (rotated out of the r04 window);
@@ -22,7 +22,7 @@ R05_NEW_OR_CHANGED = [
 R03_RIDERS = [
     "kmeans_assign", "sq_encode", "pip_join", "pip_join_left",
     "chunk_documents", "pip_join_convex", "knn_per_cell",
-    "dedup_latest", "html_extract", "asof_join", "url_parts",
+    "dedup_latest", "html_extract", "asof_join",
     "domain_cap", "hash_sample", "ledger_resolve", "ivf_topk",
     "proxy_paths", "rolling_fingerprint", "cell_histogram",
     "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",
@@ -33,8 +33,8 @@ R03_RIDERS = [
     "stem_groups", "assoc_join", "resume_pending",
 ]
 
-# disclosed: trivial filters riding their green r03 row a second round
-R03_STRAGGLERS = {"url_encode", "output_ext", "dir_depth"}
+# disclosed: trivial queries riding their green r03 row a second round
+R03_STRAGGLERS = {"url_encode", "output_ext", "dir_depth", "url_parts"}
 
 # green rows in CORRECTNESS_r04.json (the driver's r04 gate window),
 # minus pq_encode which ERRORED there (it is in R05_NEW_OR_CHANGED)

@@ -462,3 +462,33 @@ def test_warc_to_training_corpus_end_to_end(spark, sf_dir, tmp_path):
     fam = hashlib.sha256(
         (docs[0][1] + " mail <EMAIL>").encode()).hexdigest()
     assert out_rows.count(fam) == 1                # planted family -> 1
+
+
+def test_engine_canonicalize_urls_collapses_variants(spark, sf_dir,
+                                                     tmp_path):
+    """canonicalize_urls=True rewrites urls at ingest BEFORE
+    dedup_latest, so a utm-junk variant of an existing page collapses
+    onto its canonical row (latest warc_epoch wins) — the job universe
+    and ledger never see the tracking variant."""
+    wd = str(tmp_path / "canonjob")
+    base = synth_pages(spark, sf_dir)
+    variant = (base.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?utm_source=feed#frag")))
+        .withColumn("warc_epoch", F.col("warc_epoch") + 1))
+    eng = Engine(JobConf(sf_dir=sf_dir, workdir=wd,
+                         canonicalize_urls=True))
+    res = eng.run(spark, pages=base.unionByName(variant))
+    out = res["page_tiles"]
+    assert out.where(F.col("url").contains("utm_")).count() == 0
+    # job universe = one ledger row per CANONICAL url (the variant
+    # collapsed onto it), not 2x
+    n_base = base.count()
+    assert res["ledger"].select("url").distinct().count() == n_base
+    assert out.select("url").distinct().count() <= n_base
+    # the variant (higher warc_epoch) won the latest-per-url dedup
+    joined = out.join(base.select("url",
+                                  F.col("warc_epoch").alias("base_ep")),
+                      "url")
+    assert joined.count() > 0
+    assert joined.where(F.col("warc_epoch") != F.col("base_ep") + 1) \
+                 .count() == 0

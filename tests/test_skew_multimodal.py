@@ -308,3 +308,29 @@ def test_extract_links_resolution_paths(spark):
     assert got == {
         ("https://other.example/x", "https://other.example/x"),
         ("/rel/path?q=1", "https://me.example/rel/path?q=1")}
+
+
+def test_exact_substr_overlap_hand_computed(spark):
+    """Two docs share an exact 40-token passage (one IS the passage,
+    one embeds it mid-text); a third is clean. With width=32 the 9
+    interior windows collide, covering exactly the 40 passage tokens
+    in each carrier — interval-union math verified by hand."""
+    from optimizerasters_spark.operators import dedup
+    b40 = " ".join(f"tok{k}" for k in range(40))
+    docs = spark.createDataFrame(
+        [(1, b40),
+         (2, "pre1 pre2 pre3 pre4 pre5 " + b40 + " post1 post2 post3"),
+         (3, " ".join(f"clean{k}" for k in range(50)))],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.exact_substr_overlap(docs, width=32).collect()}
+    assert got[1]["n_shared_windows"] == 9
+    assert got[1]["n_dup_tokens"] == 40
+    assert got[1]["dup_ratio_micro"] == 1000000
+    assert got[2]["n_shared_windows"] == 9
+    assert got[2]["n_dup_tokens"] == 40
+    assert got[2]["n_tokens"] == 48
+    assert got[2]["dup_ratio_micro"] == 833333
+    assert got[3]["n_shared_windows"] == 0
+    assert got[3]["n_dup_tokens"] == 0
+    assert got[3]["dup_ratio_micro"] == 0
