@@ -3303,6 +3303,25 @@ def q_substr_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_substr_overlap(fixture, width=32)
 
 
+def q_cell_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order keys for every page's level-0 tile — the
+    space-filling-curve sort key a 100 TB table range-partitions on so
+    spatial neighbors co-locate; pure literal-shift column math."""
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    return p.select(
+        "doc_id", "tile_x", "tile_y",
+        spatial.zorder_key(F.col("tile_x"), F.col("tile_y"))
+        .alias("zkey"))
+
+
+def q_ring_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/S2-polyfill analog: all 1000-md cells whose centers fall
+    inside each arbitrary star ring (even-odd ray cast) — candidates
+    exploded distributed from the vertex bbox."""
+    from optimizerasters_spark.pages import synth_ring_polys
+    return spatial.polyfill_ring(synth_ring_polys(spark), res_md=1000)
+
+
 QUERIES.update({
     "url_canonicalize": q_url_canonicalize,
     "link_graph": q_link_graph,
@@ -3310,7 +3329,49 @@ QUERIES.update({
     "shard_pack": q_shard_pack,
     "cell_compact": q_cell_compact,
     "substr_overlap": q_substr_overlap,
+    "cell_zorder": q_cell_zorder,
+    "ring_polyfill": q_ring_polyfill,
 })
+
+ORACLES["cell_zorder"] = f"""
+{_W},
+t0 AS (SELECT doc_id, {_TILE_SQL} FROM pages)
+SELECT doc_id, tile_x, tile_y,
+  CAST(list_sum(list_transform(generate_series(0, 15),
+    b -> (((tile_x >> b) & 1) << (2 * b))
+       + (((tile_y >> b) & 1) << (2 * b + 1)))) AS BIGINT) AS zkey
+FROM t0
+"""
+
+ORACLES["ring_polyfill"] = f"""
+WITH {RING_POLYS_CTE.strip()},
+bb AS (SELECT polygon_id, v,
+         list_min(list_transform(v, p -> p.x)) // 1000 AS cx0,
+         list_max(list_transform(v, p -> p.x)) // 1000 AS cx1,
+         list_min(list_transform(v, p -> p.y)) // 1000 AS cy0,
+         list_max(list_transform(v, p -> p.y)) // 1000 AS cy1
+       FROM ringpolys),
+c1 AS (SELECT polygon_id, v,
+         unnest(generate_series(cx0, cx1)) AS cell_x, cy0, cy1
+       FROM bb),
+c2 AS (SELECT polygon_id, v, cell_x,
+         unnest(generate_series(cy0, cy1)) AS cell_y
+       FROM c1),
+pt AS (SELECT polygon_id, v, cell_x, cell_y,
+         cell_x * 1000 + 500 AS px, cell_y * 1000 + 500 AS py
+       FROM c2)
+SELECT polygon_id, CAST(cell_x AS BIGINT) AS cell_x,
+       CAST(cell_y AS BIGINT) AS cell_y
+FROM pt
+WHERE len(list_filter(generate_series(1, 8),
+   k -> ((v[k].y > py) <> (v[(k % 8) + 1].y > py))
+    AND (CASE WHEN v[(k % 8) + 1].y > v[k].y
+         THEN ((v[(k % 8) + 1].x - v[k].x) * (py - v[k].y)
+             - (v[(k % 8) + 1].y - v[k].y) * (px - v[k].x)) > 0
+         ELSE ((v[(k % 8) + 1].x - v[k].x) * (py - v[k].y)
+             - (v[(k % 8) + 1].y - v[k].y) * (px - v[k].x)) < 0
+         END))) % 2 = 1
+"""
 
 ORACLES["substr_overlap"] = f"""
 WITH f AS (SELECT doc_id,
@@ -3500,16 +3561,23 @@ GATE_PRIORITY = [
     "shard_pack",           # NEW: token-budget shard packing
     "cell_compact",         # NEW: quadtree minimal-cover compaction
     "substr_overlap",       # NEW: ExactSubstr duplicated-passage census
+    "cell_zorder",          # NEW: Morton key (range-partition locality)
+    "ring_polyfill",        # NEW: H3/S2-polyfill analog (ray cast)
     # the queries whose last gate row is r03 (rotate so no row goes
-    # >1 round stale); 38 of the 42 fit — url_encode / output_ext /
-    # dir_depth / url_parts (trivial, golden/property-tested, code
-    # untouched since r03) disclosed as riding their r03 rows one
-    # more round
+    # >1 round stale); 36 of the 42 fit — url_encode / output_ext /
+    # dir_depth / url_parts / hash_sample / proxy_paths (trivial,
+    # golden/property-tested, code untouched since r03) disclosed as
+    # riding their r03 rows one more round. The registry now holds 101
+    # queries ≈ 2 x the 50-slot window: from r06 on, the steady state
+    # is a two-round alternation (each round's window = the ~50 slots
+    # the previous round left out, plus any new/changed queries
+    # swapped to the front), so no row goes more than ~2 rounds stale
+    # and the stragglers clear in r06.
     "kmeans_assign", "sq_encode", "pip_join", "pip_join_left",
     "chunk_documents", "pip_join_convex", "knn_per_cell",
     "dedup_latest", "html_extract", "asof_join",
-    "domain_cap", "hash_sample", "ledger_resolve", "ivf_topk",
-    "proxy_paths", "rolling_fingerprint", "cell_histogram",
+    "domain_cap", "ledger_resolve", "ivf_topk",
+    "rolling_fingerprint", "cell_histogram",
     "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",
     "salted_topk", "pyramid_resample", "proxy_csv", "tile_manifest",
     "free_space_scan", "tile_counts_pyramid", "simhash_ann",
@@ -3518,9 +3586,10 @@ GATE_PRIORITY = [
     "stem_groups", "assoc_join", "resume_pending",
     # ------------------- gate-window boundary (50) -----------------------
     # everything below holds a green r04 row (CORRECTNESS_r04.json)
-    # with implementing code unchanged since, or is one of the four
+    # with implementing code unchanged since, or is one of the six
     # disclosed r03 riders above
     "url_encode", "output_ext", "dir_depth", "url_parts",
+    "hash_sample", "proxy_paths",
     "pip_join_ring", "pii_scrub", "decontaminate", "ring_stats",
     "pq_adc_topk", "ivf_pq_topk", "blocklist_filter",
     "remove_boilerplate", "stratified_sample", "geoparse",

@@ -15,6 +15,7 @@ R05_NEW_OR_CHANGED = [
     "repetition_quality", "dup_components",
     "ivf_pq_residual", "url_canonicalize", "link_graph", "pagerank",
     "shard_pack", "cell_compact", "substr_overlap",
+    "cell_zorder", "ring_polyfill",
 ]
 
 # queries whose last gate row is r03 (rotated out of the r04 window);
@@ -23,8 +24,8 @@ R03_RIDERS = [
     "kmeans_assign", "sq_encode", "pip_join", "pip_join_left",
     "chunk_documents", "pip_join_convex", "knn_per_cell",
     "dedup_latest", "html_extract", "asof_join",
-    "domain_cap", "hash_sample", "ledger_resolve", "ivf_topk",
-    "proxy_paths", "rolling_fingerprint", "cell_histogram",
+    "domain_cap", "ledger_resolve", "ivf_topk",
+    "rolling_fingerprint", "cell_histogram",
     "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",
     "salted_topk", "pyramid_resample", "proxy_csv", "tile_manifest",
     "free_space_scan", "tile_counts_pyramid", "simhash_ann",
@@ -34,7 +35,8 @@ R03_RIDERS = [
 ]
 
 # disclosed: trivial queries riding their green r03 row a second round
-R03_STRAGGLERS = {"url_encode", "output_ext", "dir_depth", "url_parts"}
+R03_STRAGGLERS = {"url_encode", "output_ext", "dir_depth", "url_parts",
+                  "hash_sample", "proxy_paths"}
 
 # green rows in CORRECTNESS_r04.json (the driver's r04 gate window),
 # minus pq_encode which ERRORED there (it is in R05_NEW_OR_CHANGED)
@@ -81,8 +83,10 @@ def test_every_query_has_a_fresh_row_source():
 
 
 def test_reorder_loses_no_queries():
-    # every registered query survived the reorder and still has its oracle
-    assert len(contract.QUERIES) >= 98
+    # every registered query survived the reorder and still has its
+    # oracle; the registry (101) is ~2x the 50-slot gate window, so
+    # rounds alternate halves and no row goes more than ~2 rounds stale
+    assert len(contract.QUERIES) == 101
     assert len(set(contract.QUERIES)) == len(contract.QUERIES)
     no_oracle = [n for n in contract.QUERIES if n not in contract.ORACLES]
     assert not no_oracle, f"queries without oracle SQL: {no_oracle}"

