@@ -111,7 +111,8 @@ def main() -> None:
         "pq_adc_topk", "remove_boilerplate", "dup_components",
         # round-5 additions
         "ivf_pq_residual", "url_canonicalize", "link_graph", "pagerank",
-        "shard_pack", "cell_compact", "substr_overlap"]
+        "shard_pack", "cell_compact", "substr_overlap", "cell_zorder",
+        "ring_polyfill"]
     for qname in qnames:
         q = contract.QUERIES[qname]
         bench(qname, lambda q=q: q(spark, SF_DIR)
