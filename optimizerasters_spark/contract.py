@@ -3303,6 +3303,15 @@ def q_substr_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_substr_overlap(fixture, width=32)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled TF-IDF top-5 terms per document over the corpus
+    inverted index — tf * (1e6 div doc_freq), exact integers, ties
+    broken by term; the keyword-extraction primitive."""
+    from optimizerasters_spark.operators import text as T
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.tfidf_topk(d, k=5)
+
+
 def q_cell_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order keys for every page's level-0 tile — the
     space-filling-curve sort key a 100 TB table range-partitions on so
@@ -3331,7 +3340,25 @@ QUERIES.update({
     "substr_overlap": q_substr_overlap,
     "cell_zorder": q_cell_zorder,
     "ring_polyfill": q_ring_polyfill,
+    "tfidf_topk": q_tfidf_topk,
 })
+
+ORACLES["tfidf_topk"] = """
+WITH ex AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM ex GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+        CAST(tf.tf * (1000000 // dfq.doc_freq) AS BIGINT) AS score_micro
+      FROM tf JOIN dfq USING (term))
+SELECT doc_id, term, tf, doc_freq, score_micro, CAST(rn AS INT)
+  AS term_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY score_micro DESC, term) AS rn FROM s)
+WHERE rn <= 5
+"""
 
 ORACLES["cell_zorder"] = f"""
 {_W},
@@ -3563,11 +3590,13 @@ GATE_PRIORITY = [
     "substr_overlap",       # NEW: ExactSubstr duplicated-passage census
     "cell_zorder",          # NEW: Morton key (range-partition locality)
     "ring_polyfill",        # NEW: H3/S2-polyfill analog (ray cast)
+    "tfidf_topk",           # NEW: integer TF-IDF keyword extraction
     # the queries whose last gate row is r03 (rotate so no row goes
-    # >1 round stale); 36 of the 42 fit — url_encode / output_ext /
-    # dir_depth / url_parts / hash_sample / proxy_paths (trivial,
+    # >1 round stale); 35 of the 42 fit — url_encode / output_ext /
+    # dir_depth / url_parts / hash_sample / proxy_paths / domain_cap
+    # (trivial,
     # golden/property-tested, code untouched since r03) disclosed as
-    # riding their r03 rows one more round. The registry now holds 101
+    # riding their r03 rows one more round. The registry now holds 102
     # queries ≈ 2 x the 50-slot window: from r06 on, the steady state
     # is a two-round alternation (each round's window = the ~50 slots
     # the previous round left out, plus any new/changed queries
@@ -3576,7 +3605,7 @@ GATE_PRIORITY = [
     "kmeans_assign", "sq_encode", "pip_join", "pip_join_left",
     "chunk_documents", "pip_join_convex", "knn_per_cell",
     "dedup_latest", "html_extract", "asof_join",
-    "domain_cap", "ledger_resolve", "ivf_topk",
+    "ledger_resolve", "ivf_topk",
     "rolling_fingerprint", "cell_histogram",
     "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",
     "salted_topk", "pyramid_resample", "proxy_csv", "tile_manifest",
@@ -3586,10 +3615,10 @@ GATE_PRIORITY = [
     "stem_groups", "assoc_join", "resume_pending",
     # ------------------- gate-window boundary (50) -----------------------
     # everything below holds a green r04 row (CORRECTNESS_r04.json)
-    # with implementing code unchanged since, or is one of the six
+    # with implementing code unchanged since, or is one of the seven
     # disclosed r03 riders above
     "url_encode", "output_ext", "dir_depth", "url_parts",
-    "hash_sample", "proxy_paths",
+    "hash_sample", "proxy_paths", "domain_cap",
     "pip_join_ring", "pii_scrub", "decontaminate", "ring_stats",
     "pq_adc_topk", "ivf_pq_topk", "blocklist_filter",
     "remove_boilerplate", "stratified_sample", "geoparse",

@@ -154,6 +154,40 @@ def rolling_fingerprint(docs: DataFrame,
         F.size(toks).cast("bigint").alias("n_tokens"))
 
 
+def tfidf_topk(docs: DataFrame, k: int = 5,
+               text_col: str = "text") -> DataFrame:
+    """Integer-scaled TF-IDF: the corpus inverted index — (doc, term)
+    term frequencies and per-term document frequencies — scored as
+    tf * (1e6 div doc_freq) and ranked top-k per document. The
+    log-free rational idf keeps every value an exact integer
+    (cross-engine hashable), preserves the idf ORDERING (1/df is
+    monotone in ln(N/df)), and is the keyword/topic-extraction
+    primitive (search indexing, per-doc keywords as a training-data
+    facet).
+
+    Scale shape: one explode -> (doc, term) partial-agg count (the
+    only corpus-proportional shuffle, uniform key), a vocabulary-sized
+    term aggregate, one equi-join on term, then the per-doc window.
+    Returns (doc_id, term, tf, doc_freq, score_micro, term_rank)."""
+    toks = tokens_col(text_col)
+    tf = (docs.select("doc_id", F.explode(toks).alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+    scored = (tf.join(df_t, "term")
+              .withColumn("score_micro",
+                          F.expr("tf * (1000000 div doc_freq)")
+                          .cast("bigint")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc())
+    return (scored.withColumn("term_rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("term_rank") <= k)
+            .select("doc_id", "term", "tf", "doc_freq", "score_micro",
+                    "term_rank"))
+
+
 def pack_shards(docs: DataFrame, budget_tokens: int,
                 strat_col: str = "lang", order_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:

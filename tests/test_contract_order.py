@@ -15,7 +15,7 @@ R05_NEW_OR_CHANGED = [
     "repetition_quality", "dup_components",
     "ivf_pq_residual", "url_canonicalize", "link_graph", "pagerank",
     "shard_pack", "cell_compact", "substr_overlap",
-    "cell_zorder", "ring_polyfill",
+    "cell_zorder", "ring_polyfill", "tfidf_topk",
 ]
 
 # queries whose last gate row is r03 (rotated out of the r04 window);
@@ -24,7 +24,7 @@ R03_RIDERS = [
     "kmeans_assign", "sq_encode", "pip_join", "pip_join_left",
     "chunk_documents", "pip_join_convex", "knn_per_cell",
     "dedup_latest", "html_extract", "asof_join",
-    "domain_cap", "ledger_resolve", "ivf_topk",
+    "ledger_resolve", "ivf_topk",
     "rolling_fingerprint", "cell_histogram",
     "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",
     "salted_topk", "pyramid_resample", "proxy_csv", "tile_manifest",
@@ -36,7 +36,7 @@ R03_RIDERS = [
 
 # disclosed: trivial queries riding their green r03 row a second round
 R03_STRAGGLERS = {"url_encode", "output_ext", "dir_depth", "url_parts",
-                  "hash_sample", "proxy_paths"}
+                  "hash_sample", "proxy_paths", "domain_cap"}
 
 # green rows in CORRECTNESS_r04.json (the driver's r04 gate window),
 # minus pq_encode which ERRORED there (it is in R05_NEW_OR_CHANGED)
@@ -84,9 +84,9 @@ def test_every_query_has_a_fresh_row_source():
 
 def test_reorder_loses_no_queries():
     # every registered query survived the reorder and still has its
-    # oracle; the registry (101) is ~2x the 50-slot gate window, so
+    # oracle; the registry (102) is ~2x the 50-slot gate window, so
     # rounds alternate halves and no row goes more than ~2 rounds stale
-    assert len(contract.QUERIES) == 101
+    assert len(contract.QUERIES) == 102
     assert len(set(contract.QUERIES)) == len(contract.QUERIES)
     no_oracle = [n for n in contract.QUERIES if n not in contract.ORACLES]
     assert not no_oracle, f"queries without oracle SQL: {no_oracle}"
