@@ -100,6 +100,32 @@ def main() -> None:
 
         bench("training_flagship", training_flagship)
 
+        # third flagship: the COMPLETE crawl->shards corpus build
+        # (canonicalize -> robots -> blocklist -> dedup stack ->
+        # decontaminate -> shard packing) over the same replicated
+        # pages, with per-host robots bodies and a benchmark slice
+        def corpus_e2e():
+            from optimizerasters_spark.operators import web
+            p = synth_pages_scaled(spark, SF_DIR, docs_rep)
+            i = F.col("doc_id")
+            hosts = (web.url_parts(p).where(i % 4 == 0)
+                     .groupBy("host").agg(F.min("doc_id").alias("hid")))
+            robots = hosts.select(
+                "host",
+                F.when(F.col("hid") % 8 == 0,
+                       F.lit("User-agent: *\nDisallow: /p/\n"))
+                 .otherwise(F.lit("User-agent: evilbot\n"
+                                  "Disallow: /p/\n"))
+                 .alias("robots_txt"))
+            blocked = (web.url_parts(p).where(i % 41 == 0)
+                       .select(F.col("domain").alias("bdom")).distinct())
+            bench_docs = p.where(i % 97 == 0).select("doc_id", "text")
+            (training.corpus_pipeline(p, robots=robots, blocked=blocked,
+                                      benchmark=bench_docs)
+             .write.mode("overwrite").format("noop").save())
+
+        bench("corpus_e2e", corpus_e2e)
+
     qnames = [] if only == "flagship" else [
         "tile_assign", "tile_counts_pyramid", "pip_join",
         "knn_per_cell", "dedup_latest", "minhash_lsh_pairs",

@@ -86,6 +86,62 @@ def training_kept(docs: DataFrame,
     return gated
 
 
+def corpus_pipeline(pages: DataFrame,
+                    robots: DataFrame | None = None,
+                    blocked: DataFrame | None = None,
+                    benchmark: DataFrame | None = None,
+                    rates_milli: dict[str, int] | None = None,
+                    budget_tokens: int = 4096,
+                    jaccard_micro: int = JACCARD_MICRO,
+                    min_tokens: int = MIN_TOKENS,
+                    max_mean_wl_micro: int = MAX_MEAN_WL_MICRO,
+                    max_bucket: int | None = None) -> DataFrame:
+    """The COMPLETE web-corpus build, crawl table to training shards —
+    every hygiene stage this engine implements, composed in the order
+    a production corpus run applies them:
+
+      1. URL canonicalization (tracking variants collapse),
+      2. robots.txt politeness (RFC 9309 wildcard-agent rules),
+      3. domain blocklist,
+      4. latest-per-CANONICAL-url dedup,
+      5. exact + near-dup removal and the quality gate
+         (:func:`training_kept`),
+      6. benchmark decontamination (n-gram overlap),
+      7. stratified per-language training mix,
+      8. token-budget shard packing.
+
+    Optional stages (robots/blocklist/benchmark/rates) no-op when their
+    table is None, so the same function serves smoke tests and the full
+    build. Returns the shard table (lang, doc_id, n_tokens, cum_before,
+    shard_id) — what a trainer's data loader consumes.
+
+    Scale shape: stages 1-3 are codegen projections + broadcast
+    (anti-)joins that fold into the scan; the only corpus-proportional
+    shuffles are the canonical-url dedup, the content-hash/LSH-bucket
+    dedup pair, the decontamination semi-join's doc n-gram explode, and
+    the final per-stratum window — each keyed uniformly."""
+    from optimizerasters_spark.operators import web as W
+    p = (W.url_canonicalize(pages)
+         .withColumn("url", F.col("canon_url"))
+         .drop("canon_url", "changed"))
+    if robots is not None:
+        p = W.robots_filter(p, robots).drop("host")
+    if blocked is not None:
+        p = W.blocklist_filter(p, blocked).drop("host")
+    p = D.dedup_latest(p)
+    docs = p.select("doc_id", "text", "lang")
+    kept = training_kept(docs, jaccard_micro, min_tokens,
+                         max_mean_wl_micro, max_bucket=max_bucket)
+    if benchmark is not None:
+        dirty = (T.ngram_contamination(kept.select("doc_id", "text"),
+                                       benchmark)
+                 .where(F.col("contaminated")).select("doc_id"))
+        kept = kept.join(dirty, "doc_id", "left_anti")
+    if rates_milli is not None:
+        kept = W.stratified_hash_sample(kept, rates_milli)
+    return T.pack_shards(kept, budget_tokens)
+
+
 def training_oversized_buckets(docs: DataFrame,
                                max_bucket: int = 1000) -> DataFrame:
     """The LSH buckets a ``max_bucket`` cap excludes from the flagship's

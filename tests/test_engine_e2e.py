@@ -492,3 +492,69 @@ def test_engine_canonicalize_urls_collapses_variants(spark, sf_dir,
     assert joined.count() > 0
     assert joined.where(F.col("warc_epoch") != F.col("base_ep") + 1) \
                  .count() == 0
+
+
+def test_corpus_pipeline_removes_every_junk_class(spark, sf_dir):
+    """The full crawl->shards composition: each hygiene stage fires on
+    its planted junk class and ONLY that class — tracking variant
+    collapses, robots/blocklist hosts drop, exact and near duplicates
+    drop their newer/higher id, the contaminated doc and the
+    too-short doc vanish — and the surviving shard table is
+    deterministic across reruns."""
+    from optimizerasters_spark.operators import training
+    i = F.col("doc_id")
+    base = synth_pages(spark, sf_dir).where(i < 60)
+
+    def variant(src_id, new_id, url_suffix, text_fn=None):
+        v = (base.where(i == src_id)
+             .withColumn("doc_id", F.lit(new_id).cast("bigint"))
+             .withColumn("url", F.concat(F.col("url"),
+                                         F.lit(url_suffix))))
+        if text_fn is not None:
+            v = v.withColumn("text", text_fn(F.col("text")))
+        return v
+
+    # tracking variant of doc 1: same canonical url, newer crawl
+    track = (base.where(i == 1)
+             .withColumn("url", F.concat(F.col("url"),
+                                         F.lit("?utm_source=x#f")))
+             .withColumn("warc_epoch", F.col("warc_epoch") + 1))
+    exact_dup = variant(6, 10060, "x")
+    near_dup = variant(7, 10061, "y",
+                       lambda t: F.concat(t, F.lit(" zzz zzz")))
+    low_q = variant(9, 10062, "z", lambda t: F.lit("a b"))
+    contam_text = " ".join(f"qq{k}" for k in range(30))
+    contam = variant(2, 10063, "w", lambda t: F.lit(contam_text))
+    pages = (base.unionByName(track).unionByName(exact_dup)
+             .unionByName(near_dup).unionByName(low_q)
+             .unionByName(contam))
+    robots = spark.createDataFrame(
+        [("site3.example", "User-agent: *\nDisallow: /p/\n")],
+        "host string, robots_txt string")
+    blocked = spark.createDataFrame([("site5.example",)], "bdom string")
+    benchmark = spark.createDataFrame([(8888, contam_text)],
+                                      "doc_id bigint, text string")
+    out = training.corpus_pipeline(pages, robots=robots,
+                                   blocked=blocked,
+                                   benchmark=benchmark)
+    rows = out.collect()
+    survivors = {r["doc_id"] for r in rows}
+    assert len(rows) == len(survivors)  # one shard row per doc
+    assert 1 in survivors           # canonical collapse kept the doc
+    assert 3 not in survivors       # robots Disallow /p/
+    assert 5 not in survivors       # blocklisted domain
+    assert 6 in survivors and 10060 not in survivors   # exact dup
+    assert 7 in survivors and 10061 not in survivors   # near dup
+    assert 10063 not in survivors   # benchmark-contaminated
+    assert 10062 not in survivors   # quality gate (2 tokens)
+    # deterministic: identical shard assignment on rerun
+    again = training.corpus_pipeline(pages, robots=robots,
+                                     blocked=blocked,
+                                     benchmark=benchmark).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # the stratified-mix stage composes: en-only mix keeps only en docs
+    en_only = training.corpus_pipeline(pages, robots=robots,
+                                       blocked=blocked,
+                                       benchmark=benchmark,
+                                       rates_milli={"en": 1000})
+    assert {r["lang"] for r in en_only.collect()} <= {"en"}
