@@ -57,6 +57,22 @@ def _cell_compact_plan(spark, sf, plan):
     return plan(q_cell_compact(spark, sf))
 
 
+def _cell_zorder_plan(spark, sf, plan):
+    from optimizerasters_spark.contract import q_cell_zorder
+    return plan(q_cell_zorder(spark, sf))
+
+
+def _polyfill_plan(spark, sf, plan):
+    from optimizerasters_spark.operators import spatial
+    from optimizerasters_spark.pages import synth_ring_polys
+    return plan(spatial.polyfill_ring(synth_ring_polys(spark)))
+
+
+def _tfidf_plan(spark, sf, plan):
+    from optimizerasters_spark.contract import q_tfidf_topk
+    return plan(q_tfidf_topk(spark, sf))
+
+
 def main():
     spark = get_spark('plans', master='local[4]', shuffle_partitions='8')
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,6 +127,15 @@ def main():
          "complete-quadruple promotion; only the shrinking cell table "
          "shuffles)",
          _cell_compact_plan(spark, sf, plan)),
+        ("Z-order cell keys (literal-shift Morton interleave — zero "
+         "Exchange, folds into the scan)",
+         _cell_zorder_plan(spark, sf, plan)),
+        ("Ring polyfill (bbox candidate explode on the executors + "
+         "Catalyst even-odd ray cast — no Python, no driver loop)",
+         _polyfill_plan(spark, sf, plan)),
+        ("TF-IDF top-k (inverted-index partial aggregates + term "
+         "equi-join + per-doc window)",
+         _tfidf_plan(spark, sf, plan)),
     ]
     out = ['# PLANS — captured physical plans (`.explain("formatted")`)', "",
            "Generated against sf0.001; regenerate with `python tools_plans.py`.",
