@@ -100,7 +100,8 @@ DOCS_STREAM_SCHEMA = "doc_id BIGINT, text STRING, lang STRING"
 
 
 def streaming_corpus_ingest(spark: SparkSession, input_dir: str,
-                            builder, available_now: bool = True):
+                            builder, available_now: bool = True,
+                            hygiene=None):
     """The unbounded-crawl corpus builder: document parquet files
     appearing under ``input_dir`` flow through
     training_incremental.CorpusBuilder.ingest per micro-batch — each
@@ -110,11 +111,21 @@ def streaming_corpus_ingest(spark: SparkSession, input_dir: str,
     builder's attempt/commit markers + sha anti-join make a replayed
     ingest a no-op (re-accepted docs are exact dups of committed
     rows) — the same idempotence the batch engine gets from
-    append+dedup. Returns the StreamingQuery."""
+    append+dedup.
+
+    ``hygiene`` is an optional DataFrame -> DataFrame transform applied
+    to every micro-batch before ingest (PII scrub, canonicalization,
+    quality gates — the batch corpus_pipeline stages in streaming
+    form). It MUST be deterministic: replay idempotence relies on a
+    redelivered batch re-scrubbing to byte-identical rows, so the
+    exact-dedup anti-join recognizes them. Returns the
+    StreamingQuery."""
     stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
               .parquet(input_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if hygiene is not None:
+            batch_df = hygiene(batch_df)
         builder.ingest(batch_df.sparkSession, batch_df)
 
     writer = (stream.writeStream

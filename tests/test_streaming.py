@@ -156,3 +156,43 @@ def test_streaming_corpus_ingest_dedups_and_replays_idempotently(
     shutil.rmtree(str(tmp_path / "corpus_state" / "_stream_ckpt"))
     streaming_corpus_ingest(spark, input_dir, cb)
     assert cb.kept(spark).count() == n2  # idempotent
+
+
+def test_streaming_ingest_applies_hygiene_before_state(spark, sf_dir,
+                                                       tmp_path):
+    """The hygiene hook scrubs every micro-batch BEFORE it can reach
+    accepted state (no raw PII ever lands in the corpus), and because
+    the scrub is deterministic, replaying the same files accepts
+    nothing new — streaming hygiene preserves the replay-idempotence
+    contract."""
+    import shutil
+    from optimizerasters_spark.operators import web
+    from optimizerasters_spark.operators.training_incremental import (
+        CorpusBuilder,
+    )
+    from optimizerasters_spark.streaming.snapshot import (
+        streaming_corpus_ingest,
+    )
+    input_dir = str(tmp_path / "dirty_in")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang")
+            .where(F.col("doc_id") < 60)
+            .withColumn("text", F.concat(
+                F.col("text"), F.lit(" reach me at spam@evil.example "))))
+    docs.write.mode("append").parquet(input_dir)
+
+    def scrub(df):
+        return df.withColumn("text", web.scrubbed_col(F.col("text")))
+
+    cb = CorpusBuilder(str(tmp_path / "clean_state"))
+    streaming_corpus_ingest(spark, input_dir, cb, hygiene=scrub)
+    kept = cb.kept(spark)
+    n1 = kept.count()
+    assert n1 > 0
+    assert kept.where(F.col("text").contains("spam@evil.example")) \
+               .count() == 0
+    assert kept.where(F.col("text").contains("<EMAIL>")).count() == n1
+    # redelivery with the same hygiene: byte-identical scrub -> no-op
+    shutil.rmtree(str(tmp_path / "clean_state" / "_stream_ckpt"))
+    streaming_corpus_ingest(spark, input_dir, cb, hygiene=scrub)
+    assert cb.kept(spark).count() == n1
