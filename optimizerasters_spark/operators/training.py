@@ -95,7 +95,9 @@ def corpus_pipeline(pages: DataFrame,
                     jaccard_micro: int = JACCARD_MICRO,
                     min_tokens: int = MIN_TOKENS,
                     max_mean_wl_micro: int = MAX_MEAN_WL_MICRO,
-                    max_bucket: int | None = None) -> DataFrame:
+                    max_bucket: int | None = None,
+                    max_top_bigram_micro: int | None = None,
+                    max_dup_line_micro: int | None = None) -> DataFrame:
     """The COMPLETE web-corpus build, crawl table to training shards —
     every hygiene stage this engine implements, composed in the order
     a production corpus run applies them:
@@ -105,7 +107,9 @@ def corpus_pipeline(pages: DataFrame,
       3. domain blocklist,
       4. latest-per-CANONICAL-url dedup,
       5. exact + near-dup removal and the quality gate
-         (:func:`training_kept`),
+         (:func:`training_kept`, including the optional Gopher-style
+         repetition gate via max_top_bigram_micro /
+         max_dup_line_micro),
       6. benchmark decontamination (n-gram overlap),
       7. stratified per-language training mix,
       8. token-budget shard packing.
@@ -131,7 +135,9 @@ def corpus_pipeline(pages: DataFrame,
     p = D.dedup_latest(p)
     docs = p.select("doc_id", "text", "lang")
     kept = training_kept(docs, jaccard_micro, min_tokens,
-                         max_mean_wl_micro, max_bucket=max_bucket)
+                         max_mean_wl_micro, max_bucket=max_bucket,
+                         max_top_bigram_micro=max_top_bigram_micro,
+                         max_dup_line_micro=max_dup_line_micro)
     if benchmark is not None:
         dirty = (T.ngram_contamination(kept.select("doc_id", "text"),
                                        benchmark)

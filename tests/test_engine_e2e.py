@@ -558,3 +558,18 @@ def test_corpus_pipeline_removes_every_junk_class(spark, sf_dir):
                                        benchmark=benchmark,
                                        rates_milli={"en": 1000})
     assert {r["lang"] for r in en_only.collect()} <= {"en"}
+    # ... and so does the repetition gate: a planted bigram-spam doc
+    # passes the plain build but falls to max_top_bigram_micro
+    spam = (base.where(i == 11)
+            .withColumn("doc_id", F.lit(10064).cast("bigint"))
+            .withColumn("url", F.concat(F.col("url"), F.lit("s")))
+            .withColumn("text", F.lit(" ".join(["buy now"] * 40))))
+    with_spam = pages.unionByName(spam)
+    plain = {r["doc_id"] for r in training.corpus_pipeline(
+        with_spam, robots=robots, blocked=blocked,
+        benchmark=benchmark).collect()}
+    gated = {r["doc_id"] for r in training.corpus_pipeline(
+        with_spam, robots=robots, blocked=blocked, benchmark=benchmark,
+        max_top_bigram_micro=500000).collect()}
+    assert 10064 in plain and 10064 not in gated
+    assert gated == plain - {10064}
