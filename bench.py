@@ -138,7 +138,7 @@ def main() -> None:
         # round-5 additions
         "ivf_pq_residual", "url_canonicalize", "link_graph", "pagerank",
         "shard_pack", "cell_compact", "substr_overlap", "cell_zorder",
-        "ring_polyfill", "tfidf_topk"]
+        "ring_polyfill", "tfidf_topk", "route_cells"]
     for qname in qnames:
         q = contract.QUERIES[qname]
         bench(qname, lambda q=q: q(spark, SF_DIR)

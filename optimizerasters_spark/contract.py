@@ -3312,6 +3312,23 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf_topk(d, k=5)
 
 
+def q_route_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line rasterization: every 25th doc defines a grid segment
+    (derived endpoints on a 64x64 grid); segment_cells traces the
+    half-cell-step sampled cells each traverses — the LINES leg of the
+    vector->raster matrix (points: rasterize_tiles, polygons:
+    ring_polyfill)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    segs = d.where(i % 25 == 0).select(
+        i.alias("seg_id"),
+        (i % 64).cast("bigint").alias("x0"),
+        (F.expr("doc_id div 64") % 64).cast("bigint").alias("y0"),
+        ((i * 7 + 3) % 64).cast("bigint").alias("x1"),
+        ((i * 13 + 5) % 64).cast("bigint").alias("y1"))
+    return spatial.segment_cells(segs)
+
+
 def q_cell_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order keys for every page's level-0 tile — the
     space-filling-curve sort key a 100 TB table range-partitions on so
@@ -3341,7 +3358,25 @@ QUERIES.update({
     "cell_zorder": q_cell_zorder,
     "ring_polyfill": q_ring_polyfill,
     "tfidf_topk": q_tfidf_topk,
+    "route_cells": q_route_cells,
 })
+
+ORACLES["route_cells"] = """
+WITH s AS (SELECT doc_id AS seg_id,
+             doc_id % 64 AS x0, (doc_id // 64) % 64 AS y0,
+             (doc_id * 7 + 3) % 64 AS x1, (doc_id * 13 + 5) % 64 AS y1
+           FROM documents WHERE doc_id % 25 = 0),
+n AS (SELECT *, 2 * GREATEST(ABS(x1 - x0), ABS(y1 - y0)) AS n2 FROM s),
+pts AS (SELECT seg_id, x0, y0, x1, y1, n2,
+          unnest(generate_series(0, n2)) AS k
+        FROM n)
+SELECT DISTINCT seg_id,
+  CAST(CASE WHEN n2 = 0 THEN x0
+       ELSE (x0 * (n2 - k) + x1 * k) // n2 END AS BIGINT) AS cell_x,
+  CAST(CASE WHEN n2 = 0 THEN y0
+       ELSE (y0 * (n2 - k) + y1 * k) // n2 END AS BIGINT) AS cell_y
+FROM pts
+"""
 
 ORACLES["tfidf_topk"] = """
 WITH ex AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -3591,12 +3626,13 @@ GATE_PRIORITY = [
     "cell_zorder",          # NEW: Morton key (range-partition locality)
     "ring_polyfill",        # NEW: H3/S2-polyfill analog (ray cast)
     "tfidf_topk",           # NEW: integer TF-IDF keyword extraction
+    "route_cells",          # NEW: line rasterization (segment trace)
     # the queries whose last gate row is r03 (rotate so no row goes
-    # >1 round stale); 35 of the 42 fit — url_encode / output_ext /
-    # dir_depth / url_parts / hash_sample / proxy_paths / domain_cap
-    # (trivial,
+    # >1 round stale); 34 of the 42 fit — url_encode / output_ext /
+    # dir_depth / url_parts / hash_sample / proxy_paths / domain_cap /
+    # html_extract (trivial,
     # golden/property-tested, code untouched since r03) disclosed as
-    # riding their r03 rows one more round. The registry now holds 102
+    # riding their r03 rows one more round. The registry now holds 103
     # queries ≈ 2 x the 50-slot window: from r06 on, the steady state
     # is a two-round alternation (each round's window = the ~50 slots
     # the previous round left out, plus any new/changed queries
@@ -3604,7 +3640,7 @@ GATE_PRIORITY = [
     # and the stragglers clear in r06.
     "kmeans_assign", "sq_encode", "pip_join", "pip_join_left",
     "chunk_documents", "pip_join_convex", "knn_per_cell",
-    "dedup_latest", "html_extract", "asof_join",
+    "dedup_latest", "asof_join",
     "ledger_resolve", "ivf_topk",
     "rolling_fingerprint", "cell_histogram",
     "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",
@@ -3615,10 +3651,10 @@ GATE_PRIORITY = [
     "stem_groups", "assoc_join", "resume_pending",
     # ------------------- gate-window boundary (50) -----------------------
     # everything below holds a green r04 row (CORRECTNESS_r04.json)
-    # with implementing code unchanged since, or is one of the seven
+    # with implementing code unchanged since, or is one of the eight
     # disclosed r03 riders above
     "url_encode", "output_ext", "dir_depth", "url_parts",
-    "hash_sample", "proxy_paths", "domain_cap",
+    "hash_sample", "proxy_paths", "domain_cap", "html_extract",
     "pip_join_ring", "pii_scrub", "decontaminate", "ring_stats",
     "pq_adc_topk", "ivf_pq_topk", "blocklist_filter",
     "remove_boilerplate", "stratified_sample", "geoparse",

@@ -3,8 +3,8 @@ evaluates the first 50 entries of contract.QUERIES in dict order. The
 round-5 invariant: every query added or behavior-changed in round 5
 sits inside the window, plus as many of the r03-row riders as fit —
 so CORRECTNESS_r05 ∪ r04 covers all registered queries with rows at
-most one round old, except three disclosed trivial filters
-(url_encode, output_ext, dir_depth — golden/property-tested, code
+most one round old, except eight disclosed trivial queries
+(R03_STRAGGLERS below — golden/property/e2e-tested elsewhere, code
 untouched since r03) that ride their r03 rows one more round."""
 
 from optimizerasters_spark import contract
@@ -15,7 +15,7 @@ R05_NEW_OR_CHANGED = [
     "repetition_quality", "dup_components",
     "ivf_pq_residual", "url_canonicalize", "link_graph", "pagerank",
     "shard_pack", "cell_compact", "substr_overlap",
-    "cell_zorder", "ring_polyfill", "tfidf_topk",
+    "cell_zorder", "ring_polyfill", "tfidf_topk", "route_cells",
 ]
 
 # queries whose last gate row is r03 (rotated out of the r04 window);
@@ -23,7 +23,7 @@ R05_NEW_OR_CHANGED = [
 R03_RIDERS = [
     "kmeans_assign", "sq_encode", "pip_join", "pip_join_left",
     "chunk_documents", "pip_join_convex", "knn_per_cell",
-    "dedup_latest", "html_extract", "asof_join",
+    "dedup_latest", "asof_join",
     "ledger_resolve", "ivf_topk",
     "rolling_fingerprint", "cell_histogram",
     "embedding_near_dup_lsh", "cell_encode", "free_space_scan_dist",
@@ -36,7 +36,7 @@ R03_RIDERS = [
 
 # disclosed: trivial queries riding their green r03 row a second round
 R03_STRAGGLERS = {"url_encode", "output_ext", "dir_depth", "url_parts",
-                  "hash_sample", "proxy_paths", "domain_cap"}
+                  "hash_sample", "proxy_paths", "domain_cap", "html_extract"}
 
 # green rows in CORRECTNESS_r04.json (the driver's r04 gate window),
 # minus pq_encode which ERRORED there (it is in R05_NEW_OR_CHANGED)
@@ -84,9 +84,9 @@ def test_every_query_has_a_fresh_row_source():
 
 def test_reorder_loses_no_queries():
     # every registered query survived the reorder and still has its
-    # oracle; the registry (102) is ~2x the 50-slot gate window, so
+    # oracle; the registry (103) is ~2x the 50-slot gate window, so
     # rounds alternate halves and no row goes more than ~2 rounds stale
-    assert len(contract.QUERIES) == 102
+    assert len(contract.QUERIES) == 103
     assert len(set(contract.QUERIES)) == len(contract.QUERIES)
     no_oracle = [n for n in contract.QUERIES if n not in contract.ORACLES]
     assert not no_oracle, f"queries without oracle SQL: {no_oracle}"

@@ -380,3 +380,24 @@ def test_ring_polyfill_centers_inside_and_cover_relation(spark):
     base = {(r["cell_x"], r["cell_y"]) for r in one.collect()}
     assert base <= expanded  # cover is a superset (parents round up)
     assert expanded  # non-empty
+
+
+def test_segment_cells_hand_computed(spark):
+    """Half-cell-step traversal on hand-checkable segments: a
+    horizontal run covers its full column range, a 45-degree diagonal
+    covers the exact diagonal cells, a degenerate point-segment is one
+    cell."""
+    from optimizerasters_spark.operators import spatial
+    segs = spark.createDataFrame(
+        [(1, 2, 5, 6, 5),    # horizontal: (2..6, 5)
+         (2, 0, 0, 3, 3),    # diagonal: (0,0)(1,1)(2,2)(3,3) + halves
+         (3, 9, 9, 9, 9)],   # point
+        "seg_id bigint, x0 bigint, y0 bigint, x1 bigint, y1 bigint")
+    got = {}
+    for r in spatial.segment_cells(segs).collect():
+        got.setdefault(r["seg_id"], set()).add((r["cell_x"],
+                                                r["cell_y"]))
+    assert got[1] == {(x, 5) for x in range(2, 7)}
+    # diagonal half-steps floor onto the diagonal itself
+    assert got[2] == {(k, k) for k in range(4)}
+    assert got[3] == {(9, 9)}
