@@ -366,3 +366,24 @@ def test_ring_polyfill_distributed_no_python(spark, sf_dir):
     plan = _plan(spatial.polyfill_ring(synth_ring_polys(spark)))
     assert "Generate" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_tfidf_no_python_and_partial_aggregates(spark, sf_dir):
+    """The inverted-index stages must partial-aggregate map-side (tf
+    and doc_freq counts) and stay JVM-side end to end."""
+    from optimizerasters_spark.contract import q_tfidf_topk
+    plan = _plan(q_tfidf_topk(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_segment_cells_pure_codegen_explode(spark, sf_dir):
+    """Line rasterization is sequence+explode+integer projection: no
+    shuffle before the distinct, no Python anywhere."""
+    from optimizerasters_spark.operators import spatial
+    segs = spark.createDataFrame(
+        [(1, 0, 0, 9, 4)],
+        "seg_id bigint, x0 bigint, y0 bigint, x1 bigint, y1 bigint")
+    plan = _plan(spatial.segment_cells(segs))
+    assert "Generate" in plan and "explode(sequence" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
