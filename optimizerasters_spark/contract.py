@@ -28,6 +28,30 @@ from optimizerasters_spark.operators import (
 
 BLOCK = tiling.DEFAULT_BLOCK_SIZE
 PYRAMID_LEVELS = [0, 2, 4, 6, 8, 10]
+
+
+def _spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """When a plan's scan would run on fewer tasks than the session's
+    parallelism, spread rows with ONE tiny hash repartition on a unique
+    key so the per-row-heavy stage above uses every core. No-op once
+    the source already splits to >= the core count."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, key) if key else df.repartition(par)
+    return df
+
+
+def _read_spread(spark: SparkSession, path: str,
+                 key: str | None = None) -> DataFrame:
+    """Read a parquet input and spread it across the cores (_spread).
+
+    The fixture tables are single-file / single-row-group parquet, so
+    the scan is ONE task no matter how maxPartitionBytes is tuned —
+    guide §2.5 'input skew: one huge unsplittable file'; every md5 /
+    explode / distance expression above such a scan was running
+    single-threaded. At real scale the file set already splits past the
+    core count and this no-ops."""
+    return _spread(spark.read.parquet(path), key)
 KNN_QUERIES = [(0, HOT_LON_MD[0], HOT_LAT_MD[0]),
                (1, HOT_LON_MD[1], HOT_LAT_MD[1]),
                (2, HOT_LON_MD[2], HOT_LAT_MD[2])]
@@ -223,7 +247,7 @@ def q_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     return dedup.dedup_exact(d).select(
         "text_sha", F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("dup_count").cast("bigint").alias("dup_count"))
@@ -250,14 +274,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     return dedup.lsh_candidate_pairs(d, num_hashes=8, bands=4, shingle_n=3) \
         .select(F.col("doc_a").cast("bigint").alias("doc_a"),
                 F.col("doc_b").cast("bigint").alias("doc_b"))
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     q = e.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"))
@@ -710,7 +734,7 @@ def q_salted_cell_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (rows-only check: recall is
     probabilistic by design, not SQL-expressible)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     q = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     # deterministic pseudo-random planes from a fixed seed table
@@ -764,7 +788,7 @@ def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     return similarity.embedding_near_dup(e, threshold_micro=200000,
                                          block_col="label")
 
@@ -922,7 +946,7 @@ FROM (SELECT til_name,
 # ---------------------------------------------------------------------------
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     return dedup.ngram_jaccard_pairs(d, num_hashes=8, bands=4, shingle_n=3)
 
 
@@ -1122,7 +1146,7 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the already-limited 25 rows (constant-bounded by construction).
     """
     from pyspark.sql.window import Window
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     toks = d.select(F.explode(F.split(F.lower(F.col("text")), " "))
                     .alias("token")).where(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
@@ -1564,7 +1588,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe the query's 2 nearest lists, exact top-k within. The inverted-
     file scale path beside the SimHash one; fully deterministic here
     (centroids are a fixed id-stride sample), so SQL-oracle-checkable."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     cents = e.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cvec"))
@@ -1575,7 +1599,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     return text.rolling_fingerprint(d)
 
 
@@ -1588,7 +1612,7 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB form: no fixture label, candidates meet only inside their
     hyperplane-sign bucket (16 buckets here). Same pair semantics as
     embedding_near_dup, content-derived blocking."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     e = e.withColumn(
         "lsh_bucket",
         similarity.simhash_bucket(
@@ -1834,7 +1858,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-sampled seed centroids) — the deterministic kernel both the
     trainer and the IVF build reuse; min_by aggregation, plan-asserted
     elsewhere."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     v = e.select("vec_id",
                  similarity.quantize_micro(F.col("embedding")).alias("v"))
     seeds = similarity.kmeans_seeds(v, KM_K)
@@ -1849,7 +1873,7 @@ def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     final centroids. Integer-exact end to end (micro-unit quantization,
     non-negative truncating means), so the whole TRAINING loop — not
     just one assignment — is oracle-checked."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     v = e.select("vec_id",
                  similarity.quantize_micro(F.col("embedding")).alias("v"))
     cents = similarity.kmeans_train(v, k=KM_K, iters=2)
@@ -2012,7 +2036,7 @@ def q_pyramid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data slicing: overlapping token windows per document,
     tail-covering chunk count, text bytes preserved verbatim."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     return text.chunk_documents(d, window=16, stride=12)
 
 
@@ -2031,7 +2055,7 @@ def q_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit scalar quantization of the embedding table (train bounds +
     encode), exploded to (vec_id, d, code) — the ANN memory lever,
     integer-exact end to end."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     v = e.select("vec_id",
                  similarity.quantize_micro(F.col("embedding")).alias("v"))
     lo, span = similarity.sq_train(v)
@@ -2473,7 +2497,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed-text sha — fixture plants emails (doc_id%5==0), phones
     (%5==1), or both (%5==2)."""
     from optimizerasters_spark.operators import web
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     i = F.col("doc_id")
     email = F.concat(F.lit(" contact bob"), i.cast("string"),
                      F.lit("@mail"), (i % 7).cast("string"),
@@ -2498,7 +2522,7 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs repeat their first line, and every doc shares a boilerplate
     footer line; bigram mode is the explode->count->max corpus shape."""
     from optimizerasters_spark.operators import text as T
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     i = F.col("doc_id")
     l1 = F.substring(F.col("text"), 1, 40)
     l2 = F.substring(F.col("text"), 41, 40)
@@ -2516,7 +2540,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the benchmark slice (doc_id%97==0) is flagged; clean docs
     report n_hits=0."""
     from optimizerasters_spark.operators import text as T
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     bench = d.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     return T.ngram_contamination(d, bench, n=5)
 
@@ -2530,7 +2554,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries ONLY the shared + footer paragraphs, both first seen at a
     lower doc_id — the fully-duplicated n_kept=0 case (common at
     corpus scale) whose kept_sha must come back NULL."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     i = F.col("doc_id")
     p1 = F.concat(F.lit("doc "), i.cast("string"), F.lit(" "),
                   F.substring(F.col("text"), 1, 40))
@@ -2564,7 +2588,7 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the same pair graph and closes it with a recursive
     CTE — the full pipeline (candidates -> verify -> closure) is
     value-checked per component, not just one hop."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id") \
         .select("doc_id", "text")
     ninth = d.where(F.col("doc_id") % 9 == 0)
     v1 = ninth.select((F.col("doc_id") + 20000).alias("doc_id"),
@@ -2605,7 +2629,7 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vanish from EVERY doc (first occurrence included — the semantic
     difference from paragraph_dedup); the unique doc-prefixed
     paragraph survives."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     i = F.col("doc_id")
     p1 = F.concat(F.lit("doc "), i.cast("string"), F.lit(" "),
                   F.substring(F.col("text"), 1, 40))
@@ -2939,7 +2963,7 @@ PQ_M, PQ_DIM = 2, 64
 
 
 def _pq_parts(spark: SparkSession, sf_dir: str):
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
     v = e.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                  similarity.quantize_micro(F.col("embedding")).alias("v"))
     cb = similarity.pq_codebooks_stride(v, m=PQ_M, dim=PQ_DIM)
@@ -3223,7 +3247,7 @@ def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's 10-group leader and (when a same-host predecessor exists,
     i >= 997) a HOST-RELATIVE link to doc i-997 — exercising both href
     resolution paths with every resolved URL landing on a real page."""
-    p = synth_pages(spark, sf_dir)
+    p = _spread(synth_pages(spark, sf_dir), "doc_id")
     i = F.col("doc_id")
     leader = (F.floor(i / 10) * 10).cast("bigint")
     leader_url = F.concat(F.lit("https://site"),
@@ -3294,7 +3318,7 @@ def q_substr_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully-interior 32-token windows hash-collide across docs, so each
     planted doc reports (at least) 40 covered token positions — the
     verbatim-passage-reuse signal document/paragraph hashing misses."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     i = F.col("doc_id")
     fixture = d.withColumn(
         "text",
@@ -3308,7 +3332,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index — tf * (1e6 div doc_freq), exact integers, ties
     broken by term; the keyword-extraction primitive."""
     from optimizerasters_spark.operators import text as T
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
     return T.tfidf_topk(d, k=5)
 
 

@@ -14,6 +14,8 @@ here and compose.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -97,35 +99,74 @@ def simhash_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def _collect_centroids(cents: DataFrame, id_col: str, vec_col: str,
+                       dtype):
+    """Collect a small (id, vector) table to the driver sorted by id
+    ascending. The SAME bytes F.broadcast() would haul through the
+    driver — but as a NumPy matrix a vectorized kernel can consume
+    (guide §4.2). Ascending ids make first-occurrence argmin/argmax
+    the exact 'ties -> lower id' rule."""
+    rows = cents.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.asarray([list(r[1]) for r in rows], dtype=dtype)
+    return ids, mat
+
+
+def _np_dist2(X, C, c_norm2):
+    """Squared-L2 distance matrix |x-c|^2 = |x|^2 + |c|^2 - 2<x,c> via
+    one BLAS matmul. EXACT for the micro-int domain: every component is
+    an integer with |v| <= ~4.2e6, so each partial sum over <= 64 dims
+    is an integer < 2^53 and float64 arithmetic never rounds."""
+    G = X @ C.T
+    return (X * X).sum(axis=1)[:, None] + c_norm2[None, :] - 2.0 * G
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                vec_col: str = "vec", id_col: str = "vec_id",
                nprobe: int = 1) -> DataFrame:
     """IVF coarse quantization: each vector gets its ``nprobe`` most
     cosine-similar centroid ids (ties -> lower cent_id). The centroid
-    table is broadcast (K is small by construction); the assignment is
-    the standard O(N*K) scan that every IVF index pays once at build.
+    table is small by construction; the assignment is the standard
+    O(N*K) scan that every IVF index pays once at build.
 
-    nprobe=1 (the BUILD side — billions of vectors) is an aggregation,
-    not a window: max_by over (sim, -cent_id) partial-combines the K
-    candidate rows map-side (they are colocated — the broadcast join
-    emitted them from one input row), so the shuffle carries ONE row per
-    vector instead of all N*K. The window form is kept for nprobe>1,
-    which only the small query side uses."""
+    nprobe=1 (the BUILD side — billions of vectors) runs the argmax as
+    ONE NumPy matrix product per Arrow batch inside a pandas UDF
+    (guide §4.2): K centroids are collected once (the same driver hop
+    a broadcast pays) and the N*K candidate rows never materialize —
+    the stage stays a shuffle-free projection instead of a broadcast
+    nested-loop join + re-aggregation, and the per-pair cost is a BLAS
+    row, not an interpreted zip_with/aggregate lambda chain. The
+    window form is kept for nprobe>1, which only the small query side
+    uses."""
+    if nprobe == 1:
+        ids, C = _collect_centroids(centroids, "cent_id", "cvec",
+                                    np.float64)
+        others = [c for c in vectors.columns if c != id_col]
+        if len(ids) == 0:
+            # no centroids: the old inner-join shape yields no rows
+            return (vectors.join(F.broadcast(centroids))
+                    .select(id_col, "cent_id", *others).limit(0))
+        c_norm = np.sqrt((C * C).sum(axis=1))
+        cent_dtype = dict(centroids.dtypes)["cent_id"]
+
+        @F.pandas_udf("bigint")
+        def _best_list(v: pd.Series) -> pd.Series:
+            X = np.asarray(v.tolist(), dtype=np.float64)
+            x_norm = np.sqrt((X * X).sum(axis=1))
+            sims = (X @ C.T) / (x_norm[:, None] * c_norm[None, :])
+            # argmax takes the FIRST max -> lowest cent_id on ties,
+            # exactly max_by(struct(sim, -cent_id))
+            return pd.Series(ids[np.argmax(sims, axis=1)])
+
+        return vectors.select(
+            id_col,
+            _best_list(F.col(vec_col)).cast(cent_dtype).alias("cent_id"),
+            *others)
     sim = (vectors.join(F.broadcast(centroids))
            .withColumn("cent_sim",
                        _dot(F.col(vec_col), F.col("cvec")) /
                        (_norm2(F.col(vec_col)) * _norm2(F.col("cvec")))))
-    if nprobe == 1:
-        others = [c for c in vectors.columns if c != id_col]
-        ord_key = F.struct(F.col("cent_sim"),
-                           (-F.col("cent_id")).alias("_inv"))
-        agg = sim.groupBy(id_col).agg(
-            F.max_by(F.struct(F.col("cent_id"),
-                              *[F.col(c) for c in others]), ord_key)
-            .alias("_best"))
-        return agg.select(
-            id_col, F.col("_best.cent_id").alias("cent_id"),
-            *[F.col(f"_best.{c}").alias(c) for c in others])
     w = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(),
                                            F.col("cent_id").asc())
     return (sim.withColumn("cent_rank", F.row_number().over(w))
@@ -223,21 +264,42 @@ def kmeans_seeds(vectors: DataFrame, k: int, id_col: str = "vec_id",
 
 def kmeans_assign(vectors: DataFrame, cents: DataFrame,
                   id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
-    """Nearest centroid by integer squared L2 (ties -> lower cent_id):
-    broadcast centroids, min_by aggregation — the shuffle carries one
-    row per vector, never the N*K candidate rows."""
-    cand = (vectors.join(F.broadcast(cents))
-            .withColumn("dist2",
-                        _dist2_int(F.col(vec_col), F.col("cvec"))))
-    best = cand.groupBy(id_col).agg(
-        F.min_by(F.struct(F.col("cent_id"), F.col("dist2"),
-                          F.col(vec_col).alias("_v")),
-                 F.struct(F.col("dist2"), F.col("cent_id"))).alias("_b"))
+    """Nearest centroid by integer squared L2 (ties -> lower cent_id).
+
+    The argmin runs as ONE NumPy matrix product per Arrow batch inside
+    a pandas UDF (guide §4.2): the K centroids are collected once (the
+    same driver hop F.broadcast pays), |x-c|^2 expands to
+    |x|^2+|c|^2-2<x,c> — exact in float64 for the micro-int domain (see
+    _np_dist2) — and the N*K candidate rows never materialize. The
+    stage is a shuffle-free projection; the old broadcast-join + min_by
+    shape shuffled one row per vector and paid an interpreted
+    zip_with/aggregate lambda chain per candidate pair."""
+    ids, C = _collect_centroids(cents, "cent_id", "cvec", np.float64)
+    if len(ids) == 0:
+        return (vectors.join(F.broadcast(cents))
+                .select(id_col, "cent_id",
+                        F.lit(0).cast("bigint").alias("dist2"),
+                        vec_col).limit(0))
+    c_norm2 = (C * C).sum(axis=1)
+    cent_dtype = dict(cents.dtypes)["cent_id"]
+
+    @F.pandas_udf("struct<cent_id:bigint,dist2:bigint>")
+    def _nearest(v: pd.Series) -> pd.DataFrame:
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        D = _np_dist2(X, C, c_norm2)
+        # argmin takes the FIRST min -> lowest cent_id on ties,
+        # exactly min_by(struct(dist2, cent_id))
+        idx = np.argmin(D, axis=1)
+        return pd.DataFrame(
+            {"cent_id": ids[idx],
+             "dist2": D[np.arange(len(idx)), idx].astype(np.int64)})
+
+    best = vectors.withColumn("_b", _nearest(F.col(vec_col)))
     return best.select(
         id_col,
-        F.col("_b.cent_id").alias("cent_id"),
+        F.col("_b.cent_id").cast(cent_dtype).alias("cent_id"),
         F.col("_b.dist2").alias("dist2"),
-        F.col("_b._v").alias(vec_col))
+        F.col(vec_col))
 
 
 def kmeans_update(assigned: DataFrame, cents: DataFrame,
@@ -416,24 +478,41 @@ def pq_train(vectors: DataFrame, m: int, dim: int, k: int = 8,
 def pq_encode(vectors: DataFrame, codebooks: DataFrame, m: int, dim: int,
               id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
     """vector -> array<int> of M codes: nearest codebook entry per
-    subspace (integer squared L2, ties -> lower cent_id). Broadcast the
-    M*K codebook rows, min_by per (vector, subspace) — M rows per
-    vector through the shuffle, never N*M*K — then pack the code array
-    in subspace order. 64 micro-int dims at M=8 become 8 ints: the 8x
-    memory lever on top of SQ's 4x."""
+    subspace (integer squared L2, ties -> lower cent_id). The M*K
+    codebook rows are collected once (the driver hop a broadcast pays)
+    and each Arrow batch computes all M argmins as NumPy matrix
+    products (guide §4.2) — a shuffle-free projection; the N*M*K
+    candidate rows and the two re-aggregations of the old broadcast-
+    join shape never happen. Distances are exact in float64 for the
+    micro-int domain (see _np_dist2). 64 micro-int dims at M=8 become
+    8 ints: the 8x memory lever on top of SQ's 4x."""
     dsub = dim // m
-    cand = (vectors.join(F.broadcast(codebooks))
-            .withColumn("dist2", _dist2_int(
-                F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub),
-                F.col("cvec"))))
-    best = cand.groupBy(id_col, "m").agg(
-        F.min_by("cent_id",
-                 F.struct(F.col("dist2"), F.col("cent_id"))).alias("code"))
-    packed = best.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("m", "code"))).alias("_mc"))
-    return packed.select(
-        id_col,
-        F.transform("_mc", lambda s: s["code"].cast("int")).alias("codes"))
+    cb_rows = codebooks.select("m", "cent_id", "cvec").collect()
+    if not cb_rows:
+        return (vectors.join(F.broadcast(codebooks))
+                .select(id_col,
+                        F.expr("cast(array() as array<int>)")
+                        .alias("codes"))
+                .limit(0))
+    books = []
+    for mm in range(m):
+        sub = sorted([(r["cent_id"], list(r["cvec"])) for r in cb_rows
+                      if r["m"] == mm])
+        ids_m = np.asarray([c for c, _ in sub], dtype=np.int64)
+        C_m = np.asarray([v for _, v in sub], dtype=np.float64)
+        books.append((ids_m, C_m, (C_m * C_m).sum(axis=1)))
+
+    @F.pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for mm, (ids_m, C_m, n_m) in enumerate(books):
+            D = _np_dist2(X[:, mm * dsub:(mm + 1) * dsub], C_m, n_m)
+            # first-min argmin == min_by(struct(dist2, cent_id))
+            out[:, mm] = ids_m[np.argmin(D, axis=1)]
+        return pd.Series(list(out))
+
+    return vectors.select(id_col, _codes(F.col(vec_col)).alias("codes"))
 
 
 def pq_adc_topk(queries: DataFrame, codes: DataFrame,

@@ -24,17 +24,21 @@ def _planted(spark, n_clusters=4, per_cluster=200, dim=16, spread=1000):
         F.array(*[(x + 1000000).cast("bigint") for x in comps]).alias("v"))
 
 
-def test_kmeans_assignment_is_aggregation_not_window(spark):
+def test_kmeans_assignment_is_projection_not_window(spark):
+    """r06: the argmin is ONE vectorized Arrow batch kernel over the
+    collected centroid matrix — a shuffle-free projection. The N*K
+    candidate rows of the old broadcast-join + min_by shape (and any
+    Window over them) must not appear in the plan."""
     v = _planted(spark).select("vec_id", "v")
     seeds = similarity.kmeans_seeds(v, 4)
     out = similarity.kmeans_assign(v, seeds)
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
-    assert "partial_min_by" in plan, plan
-    # the only Window is the K-row seed numbering inside the broadcast
-    # subtree — never one over the N*K candidate rows
-    w, bc = plan.find("Window"), plan.find("BroadcastExchange")
-    assert w == -1 or (bc != -1 and w > bc), plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    # no shuffle at all: the assignment itself is exchange-free
+    assert "Exchange" not in plan, plan
 
 
 def test_kmeans_recovers_planted_clusters(spark):

@@ -141,13 +141,16 @@ def test_distributed_prefix_sum_no_global_window(spark, sf_dir):
     assert "FileScan" not in segment, final
 
 
-def test_ivf_build_assignment_aggregates_not_windows(spark, sf_dir):
-    """The IVF build-side nearest-centroid argmax must be a max_by
-    aggregation (map-side combine collapses the K candidate rows per
-    vector before the shuffle), never a Window over all N*K rows."""
+def test_ivf_build_assignment_is_vectorized_projection(spark, sf_dir):
+    """r06: the IVF build-side nearest-centroid argmax runs as one
+    NumPy matrix product per Arrow batch (ArrowEvalPython projection)
+    — the N*K candidate rows of the old broadcast-nested-loop + max_by
+    shape never materialize. Only the tiny query side (Q rows) may
+    still pay the nested-loop expansion for its nprobe>1 window."""
     from optimizerasters_spark.contract import q_ivf_topk
     plan = _plan(q_ivf_topk(spark, sf_dir))
-    assert "partial_max_by" in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "partial_max_by" not in plan, plan
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
