@@ -269,19 +269,39 @@ def pip_join(pages: DataFrame, boundaries: DataFrame,
     NULL) — the reference's raster/non-raster split analog.
 
     The cover table is built DISTRIBUTED (polygon_cover_df) and
-    broadcast; the pages side never shuffles."""
+    broadcast; the pages side never shuffles. The inner path carries
+    the polygon's FULL row (bbox included) through the cover explode,
+    so refinement needs ONE broadcast probe per page instead of a
+    second polygon_id join over the whole page table (r06: two
+    BroadcastHashJoin -> one; the cover stays tiny — cells-per-polygon
+    x the dimension row)."""
+    if how == "inner":
+        cx = F.explode(F.sequence(
+            F.floor(F.col("lon_lo_md") / cell_md),
+            F.floor((F.col("lon_hi_md") - 1) / cell_md))).alias("cx")
+        cy = F.explode(F.sequence(
+            F.floor(F.col("lat_lo_md") / cell_md),
+            F.floor((F.col("lat_hi_md") - 1) / cell_md))).alias("cy")
+        cover = (boundaries.select(*boundaries.columns, cx)
+                 .select(*boundaries.columns, "cx", cy)
+                 .select(*boundaries.columns,
+                         tiling.pack_cell_col(F.col("cx"), F.col("cy"))
+                         .alias("cell")))
+        cands = pages.withColumn(
+            "cell",
+            tiling.pack_cell_col(F.floor(F.col("lon_md") / cell_md),
+                                 F.floor(F.col("lat_md") / cell_md)),
+        ).join(F.broadcast(cover), "cell", "inner")
+        return cands.where((F.col("lon_md") >= F.col("lon_lo_md")) &
+                           (F.col("lon_md") < F.col("lon_hi_md")) &
+                           (F.col("lat_md") >= F.col("lat_lo_md")) &
+                           (F.col("lat_md") < F.col("lat_hi_md")))
     cover = polygon_cover_df(boundaries, cell_md)
     cands = pages.withColumn(
         "cell",
         tiling.pack_cell_col(F.floor(F.col("lon_md") / cell_md),
                              F.floor(F.col("lat_md") / cell_md)),
-    ).join(F.broadcast(cover), "cell", "inner" if how == "inner" else "left")
-    if how == "inner":
-        return (cands.join(F.broadcast(boundaries), ["polygon_id"], "inner")
-                .where((F.col("lon_md") >= F.col("lon_lo_md")) &
-                       (F.col("lon_md") < F.col("lon_hi_md")) &
-                       (F.col("lat_md") >= F.col("lat_lo_md")) &
-                       (F.col("lat_md") < F.col("lat_hi_md"))))
+    ).join(F.broadcast(cover), "cell", "left")
     # left: ZERO page shuffle, single scan. The cover table pre-aggregates
     # per cell into cell -> array<struct(polygon_id, bbox)> (one tiny
     # Exchange on the DIMENSION side, under the broadcast), the pages

@@ -17,6 +17,22 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = "32"
 
 
+def _default_driver_mem() -> str:
+    """Local mode runs every executor thread inside the driver JVM, so
+    the driver heap IS the cluster memory: at 16g, 32 concurrent tasks
+    get < 300 MB of execution memory each and a 200M-row hash
+    aggregation spills continuously (guide §5). Size the heap to the
+    machine (~40 % of RAM, capped) instead of a fixed small constant;
+    $SPARK_DRIVER_MEMORY still overrides, and cluster deployments set
+    executor memory through spark-submit as usual."""
+    try:
+        kb = int(open("/proc/meminfo").readline().split()[1])
+        gb = max(8, min(int(kb / 1024 / 1024 * 0.4), 64))
+        return f"{gb}g"
+    except Exception:
+        return "16g"
+
+
 def get_spark(app_name: str = "optimizerasters-spark",
               master: str | None = None,
               shuffle_partitions: str | None = None) -> SparkSession:
@@ -51,7 +67,8 @@ def get_spark(app_name: str = "optimizerasters-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+                os.environ.get("SPARK_DRIVER_MEMORY",
+                               _default_driver_mem()))
         .config("spark.executor.memory",
                 os.environ.get("SPARK_EXECUTOR_MEMORY", "12g"))
         .config("spark.sql.session.timeZone", "UTC")

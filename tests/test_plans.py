@@ -43,10 +43,13 @@ def test_dedup_uses_partial_aggregation(spark, sf_dir):
     d = dedup.dedup_latest(synth_pages(spark, sf_dir)
                            .select("url", "doc_id", "warc_epoch"))
     plan = _plan(d)
-    # groupBy max_by compiles to partial + final aggregates around one
-    # Exchange (map-side combine shrinks the shuffle to ~one row per key
-    # per task) — a window would shuffle every row then sort
-    assert "partial_max_by" in plan, plan
+    # groupBy MAX of one packed struct compiles to partial + final
+    # aggregates around one Exchange (map-side combine shrinks the
+    # shuffle to ~one row per key per task) — a window would shuffle
+    # every row then sort. r06: max_by became max(struct) so the
+    # ordering fields cross the shuffle once, not twice.
+    assert "partial_max" in plan, plan
+    assert "max_by" not in plan, plan
     assert "Window" not in plan
 
 
