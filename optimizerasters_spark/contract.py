@@ -1053,7 +1053,7 @@ def q_tile_bin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from optimizerasters_spark.operators import raster
-    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    p = spatial.with_tiles(_spread(synth_pages(spark, sf_dir), "doc_id"))
     return raster.rasterize_tiles(p).select(
         "tile_x", "tile_y", "grid_csv",
         F.col("page_count").cast("bigint").alias("page_count"))
@@ -2028,7 +2028,7 @@ def q_pyramid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     level-by-level average (floor int) and nearest (top-left child),
     exactly gdaladdo's N-from-(N-1) chain — a single jump from level 0
     would give different floors."""
-    p = spatial.with_tiles(synth_pages(spark, sf_dir))
+    p = spatial.with_tiles(_spread(synth_pages(spark, sf_dir), "doc_id"))
     l0 = spatial.tile_counts_l0(p).withColumnRenamed("page_count", "val")
     return spatial.pyramid_reduce_iterative(l0, 3)
 

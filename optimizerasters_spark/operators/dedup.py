@@ -69,9 +69,12 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
                  F.count(F.lit(1)).alias("dup_count")))
 
 
-def shingles_col(text_col, n: int = 3):
+def shingles_col(text_col, n: int = 3, full_only: bool = False):
     """Word n-gram shingles as an array<string> (distinct, first-
     occurrence order — dict.fromkeys == array_distinct).
+    ``full_only=True`` emits NOTHING for docs shorter than n tokens
+    (the n-gram-contamination contract) instead of the one truncated
+    shingle slice() produces.
 
     Built in one vectorized Arrow batch pass (guide §4.2): Python's
     C-level split/join over the whole batch replaces the interpreted
@@ -90,6 +93,9 @@ def shingles_col(text_col, n: int = 3):
                 out.append(None)
                 continue
             toks = txt.lower().split(" ")
+            if full_only and len(toks) < n:
+                out.append(None)
+                continue
             upper = max(len(toks) - n, 0)
             out.append(list(dict.fromkeys(
                 " ".join(toks[i:i + n]) for i in range(upper + 1))))
@@ -306,20 +312,36 @@ def exact_substr_overlap(docs: DataFrame, width: int = 32,
 
     Scale shape: windows explode (≤ n_tokens rows/doc), the census
     shuffles ONCE on the 128-bit window hash (uniform — no skew), the
-    interval-union cover is per-doc array math. Never all-pairs, never
-    a UDF; the removal pass (cutting covered ranges) reuses the same
+    interval-union cover is per-doc array math. Never all-pairs; the
+    window hashes are built in one vectorized Arrow batch pass (guide
+    §4.2 — hashlib.md5 over C-level token joins replaces the per-
+    position slice+concat_ws+md5 lambda chain, byte-identical hex);
+    the removal pass (cutting covered ranges) reuses the same
     (doc_id, pos) set."""
+    import hashlib
+
+    @F.pandas_udf("array<struct<pos:int,wh:string>>")
+    def _wins(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append(None)
+                continue
+            toks = txt.lower().split(" ")
+            if len(toks) < width:
+                out.append(None)
+                continue
+            out.append([
+                (i, hashlib.md5(
+                    " ".join(toks[i:i + width]).encode("utf-8"))
+                 .hexdigest())
+                for i in range(len(toks) - width + 1)])
+        return pd.Series(out)
+
     toks = F.split(F.lower(F.col(text_col)), " ")
     n_toks = F.size(toks)
-    wins = F.when(
-        n_toks >= width,
-        F.transform(
-            F.sequence(F.lit(0), n_toks - width),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, width)))
-                 .alias("wh"))))
-    ex = (docs.select("doc_id", F.explode(wins).alias("w"))
+    ex = (docs.select("doc_id", F.explode(_wins(F.col(text_col)))
+                      .alias("w"))
           .select("doc_id", F.col("w.pos").alias("pos"),
                   F.col("w.wh").alias("wh")))
     shared_hashes = (ex.groupBy("wh")
@@ -381,17 +403,20 @@ def dup_components(pairs: DataFrame, max_iters: int = 20,
     for _ in range(max_iters):
         nb = (edges.join(labels, edges["v"] == labels["doc_id"])
               .groupBy("u").agg(F.min("comp").alias("nb_comp")))
+        # carry the previous label THROUGH the round so the changed
+        # count is a filter over the cached checkpoint — the old
+        # shape re-joined new and old labels (two more shuffles of
+        # the node table per round) just to compare them
         new = (labels.join(nb, labels["doc_id"] == nb["u"], "left")
                .select(labels["doc_id"],
+                       labels["comp"].alias("_old"),
                        F.least(labels["comp"],
                                F.coalesce(F.col("nb_comp"),
                                           labels["comp"]))
                        .alias("comp"))
                .localCheckpoint())
-        old = labels.select("doc_id", F.col("comp").alias("old_comp"))
-        changed = (new.join(old, "doc_id")
-                   .where(F.col("comp") != F.col("old_comp")).count())
-        labels = new
+        changed = new.where(F.col("comp") != F.col("_old")).count()
+        labels = new.select("doc_id", "comp")
         if changed == 0:
             break
     else:

@@ -319,17 +319,14 @@ def ngram_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 5,
     Scale shape: DISTINCT doc n-grams explode (bounded by doc length),
     the benchmark's n-gram set is tiny by definition -> broadcast hash
     semi-join, then one partial-agg count per doc. Returns every doc
-    with n_hits (0 for clean docs) and the contaminated flag."""
+    with n_hits (0 for clean docs) and the contaminated flag. Gram
+    construction is the vectorized Arrow batch builder shared with the
+    MinHash stage (dedup.shingles_col, guide §4.2) — full windows only,
+    exactly the old size>=n gate."""
     def grams(df: DataFrame) -> DataFrame:
-        toks = tokens_col(text_col)
-        gs = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i + 1, n))))
-        return df.select("doc_id",
-                         F.explode(F.array_distinct(gs)).alias("g"))
+        from optimizerasters_spark.operators.dedup import shingles_col
+        gs = shingles_col(text_col, n, full_only=True)
+        return df.select("doc_id", F.explode(gs).alias("g"))
 
     bench_grams = grams(benchmark).select("g").distinct()
     hits = (grams(docs)
