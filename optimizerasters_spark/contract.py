@@ -1053,7 +1053,7 @@ def q_tile_bin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from optimizerasters_spark.operators import raster
-    p = spatial.with_tiles(_spread(synth_pages(spark, sf_dir), "doc_id"))
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
     return raster.rasterize_tiles(p).select(
         "tile_x", "tile_y", "grid_csv",
         F.col("page_count").cast("bigint").alias("page_count"))
@@ -2028,7 +2028,7 @@ def q_pyramid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     level-by-level average (floor int) and nearest (top-left child),
     exactly gdaladdo's N-from-(N-1) chain — a single jump from level 0
     would give different floors."""
-    p = spatial.with_tiles(_spread(synth_pages(spark, sf_dir), "doc_id"))
+    p = spatial.with_tiles(synth_pages(spark, sf_dir))
     l0 = spatial.tile_counts_l0(p).withColumnRenamed("page_count", "val")
     return spatial.pyramid_reduce_iterative(l0, 3)
 
@@ -3028,7 +3028,11 @@ def q_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = v.where(F.col("vec_id") % 131 == 0).select(
         (F.col("vec_id") / 131).cast("int").alias("cent_id"),
         F.col("v").alias("cvec"))
-    res = similarity.residual_vectors(v, coarse)
+    # checkpoint the residual table: the stride-codebook COLLECT, the
+    # encode pass and the list-membership join would otherwise each
+    # re-run the assignment job (r06: 3 build-time jobs -> 1; computed
+    # inside the timed region every run, never across runs)
+    res = similarity.residual_vectors(v, coarse).localCheckpoint()
     cb = similarity.pq_codebooks_stride(res, m=PQ_M, dim=PQ_DIM,
                                         vec_col="rvec")
     queries = v.where(F.col("vec_id") < 4).select(
